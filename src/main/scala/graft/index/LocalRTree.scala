@@ -1,0 +1,745 @@
+package graft.index
+
+import scala.collection.mutable
+import graft.geom.AABB
+
+/** One indexed element: a precomputed envelope plus the payload row.
+  * Mirrors the reference's `GeomWithData` "row"
+  * (rstar/src/primitives/geom_with_data.rs:34-38) with the envelope
+  * memoized up front (the `CachedEnvelope` idiom,
+  * rstar/src/primitives/cached_envelope.rs:16-58).
+  */
+final case class Entry[T](env: AABB, value: T) extends LocalRTree.Node[T]
+
+/** Per-partition, serializable R-tree. This is the intra-partition half of
+  * the two-level distributed index (SURVEY.md §1.1): Spark's cell grid
+  * prunes partitions; this tree prunes within a partition.
+  *
+  * Semantics reproduce the reference `RTree` (rstar/src/rtree.rs:180-188):
+  *   - OMT top-down bulk load (rstar/src/algorithm/bulk_load/
+  *     bulk_load_sequential.rs:15-101, slab math cluster_group_iterator.rs:63-79);
+  *   - R* insertion: choose-subtree by minimum overlap enlargement at the
+  *     leaf level, forced reinsertion on first overflow, split axis by
+  *     minimum perimeter sum, split index by minimum overlap
+  *     (rstar/src/algorithm/rstar.rs:31-349; Beckmann et al. 1990);
+  *   - selection queries with envelope-based subtree pruning
+  *     (rstar/src/algorithm/selection_functions.rs:23-37);
+  *   - best-first nearest neighbor with MinMaxDist pruning
+  *     (rstar/src/algorithm/nearest_neighbor.rs:232-295; Roussopoulos 1995);
+  *   - lazy distance-ordered iteration (nearest_neighbor.rs:56-158);
+  *   - dual-tree intersection candidates (rstar/src/algorithm/
+  *     intersection_iterator.rs:15-104).
+  *
+  * Not thread-safe for mutation; queries are read-only and safe to share.
+  */
+final class LocalRTree[T](
+    val minSize: Int = 3,
+    val maxSize: Int = 6,
+    val reinsertionCount: Int = 2
+) extends Serializable {
+  require(minSize > 0, "MIN_SIZE must be at least 1")
+  require(maxSize >= 2 * minSize, "MAX_SIZE must be at least 2 * MIN_SIZE")
+  require(reinsertionCount < minSize, "REINSERTION_COUNT must be < MIN_SIZE")
+
+  import LocalRTree._
+
+  private var root: Inner[T] = Inner.empty[T]
+  private var cnt: Int = 0
+
+  def size: Int = cnt
+  def rootNode: Inner[T] = root
+
+  // ---------------------------------------------------------------- build
+
+  /** OMT bulk load, O(n log n) — the preferred constructor
+    * (rstar/src/rtree.rs:249-251). Elements are consumed as an array.
+    */
+  def bulkLoad(elements: Array[Entry[T]]): this.type = {
+    root =
+      if (elements.isEmpty) Inner.empty[T]
+      else {
+        val height = math.max(1, math.ceil(
+          math.log(elements.length.toDouble) / math.log(maxSize.toDouble)).toInt)
+        omtBuild(elements, 0, elements.length, height)
+      }
+    cnt = elements.length
+    this
+  }
+
+  /** Top-level OMT recursion (bulk_load_sequential.rs:15-42): ranges of at
+    * most MAX_SIZE become leaf parents; larger ranges are sliced into
+    * per-axis slabs, each slab recursing on the next axis, until axis 0,
+    * where each final cluster builds a subtree. Slab boundaries come from
+    * sorting the range on the envelope's lower corner along the slab axis
+    * (the reference uses quickselect for the same partition,
+    * rstar/src/aabb.rs:235-247 — a full range sort yields identical slabs).
+    */
+  private def omtBuild(
+      es: Array[Entry[T]], lo: Int, hi: Int, height: Int): Inner[T] = {
+    val n = hi - lo
+    if (height == 1) {
+      // Leaf parent; callers guarantee n ≤ maxSize via the capacity cut.
+      val children = new Array[Node[T]](n)
+      var i = 0
+      while (i < n) { children(i) = es(lo + i); i += 1 }
+      return Inner.ofChildren(children)
+    }
+    // Each child subtree holds at most cap = MAX_SIZE^(height-1) elements so
+    // every leaf lands at the same depth — the reference's uniform-height
+    // invariant (rstar/src/node.rs:106-155). The explicit height budget is
+    // a strengthening of the reference's slab math, which can produce
+    // uneven sibling heights on awkward cluster sizes; queries are
+    // insensitive to it, but our R* insert relies on uniform depth.
+    val cap = math.pow(maxSize.toDouble, (height - 1).toDouble)
+    val dims = es(lo).env.dims
+    val clustersOnAxis =
+      math.max(2, math.floor(
+        math.pow(math.ceil(n.toDouble / cap), 1.0 / dims)).toInt)
+    val out = mutable.ArrayBuffer.empty[Node[T]]
+
+    def slice(l: Int, h: Int, axisCountdown: Int): Unit = {
+      val len = h - l
+      if (axisCountdown == 0 || len <= cap) {
+        out += omtBuild(es, l, h, height - 1)
+      } else if (axisCountdown == 1) {
+        // Last axis: cut into exactly enough groups to respect cap.
+        sortRange(es, l, h, 0)
+        val groups = ceilDiv(len, cap.toInt)
+        val slab = ceilDiv(len, groups)
+        var s = l
+        while (s < h) {
+          val e = math.min(s + slab, h)
+          out += omtBuild(es, s, e, height - 1)
+          s = e
+        }
+      } else {
+        val axis = axisCountdown - 1
+        sortRange(es, l, h, axis)
+        val slab = ceilDiv(len, clustersOnAxis)
+        var s = l
+        while (s < h) {
+          val e = math.min(s + slab, h)
+          slice(s, e, axisCountdown - 1)
+          s = e
+        }
+      }
+    }
+    slice(lo, hi, dims)
+    Inner.ofChildren(out.toArray)
+  }
+
+  // --------------------------------------------------------------- insert
+
+  /** R* single insert (rstar/src/rtree.rs:1158-1170, strategy
+    * rstar/src/algorithm/rstar.rs:31-81). Used for insert-parity tests and
+    * micro-batch appends; bulk load is the hot path.
+    */
+  def insert(entry: Entry[T]): Unit = {
+    if (cnt == 0) {
+      root = Inner.ofChildren(Array[Node[T]](entry))
+      cnt = 1
+      return
+    }
+    // One forced-reinsert round per tree level per top-level insert
+    // (rstar/src/algorithm/rstar.rs:31-81).
+    val reinsertedLevels = mutable.Set.empty[Int]
+    insertRecWithReinsert(entry, targetLevel = 0, reinsertedLevels)
+    cnt += 1
+  }
+
+  private def insertRecWithReinsert(
+      entry: Node[T], targetLevel: Int,
+      reinserted: mutable.Set[Int]): Unit = {
+    val pending = mutable.Stack[(Node[T], Int)]((entry, targetLevel))
+    while (pending.nonEmpty) {
+      val (node, level) = pending.pop()
+      val overflow = insertAtLevel(root, node, height(root) - 1, level)
+      overflow match {
+        case Some(full) =>
+          if (reinsertionCount > 0 && !reinserted.contains(full._2)) {
+            reinserted += full._2
+            reinsertOutliers(full._1).foreach(n => pending.push((n, full._2)))
+          } else {
+            splitNode(full._1).foreach { sibling =>
+              attachSibling(full._1, sibling)
+            }
+          }
+        case None => ()
+      }
+    }
+  }
+
+  /** Descend to `targetLevel` (0 = leaf parent) choosing the subtree per R*
+    * (rstar/src/algorithm/rstar.rs:154-216): at the level whose children are
+    * leaves, minimize overlap enlargement (ties: area enlargement, then
+    * area); above, minimize area enlargement (ties: area). Returns the
+    * deepest overfull node + its level if an overflow occurred.
+    */
+  private def insertAtLevel(
+      node: Inner[T], toInsert: Node[T], nodeLevel: Int,
+      targetLevel: Int): Option[(Inner[T], Int)] = {
+    node.env = node.env.merged(toInsert.env)
+    val childrenAreLeaves = node.children.isEmpty ||
+      node.children.head.isInstanceOf[Entry[_]]
+    if (nodeLevel == targetLevel || childrenAreLeaves) {
+      node.children += toInsert
+      if (node.children.length > maxSize) Some((node, nodeLevel)) else None
+    } else {
+      val child = chooseSubtree(node, toInsert.env)
+      val deeper = insertAtLevel(child, toInsert, nodeLevel - 1, targetLevel)
+      deeper.orElse {
+        if (node.children.length > maxSize) Some((node, nodeLevel)) else None
+      }
+    }
+  }
+
+  private def chooseSubtree(node: Inner[T], env: AABB): Inner[T] = {
+    val kids = node.children
+    val grandchildrenAreLeaves =
+      kids.head.asInstanceOf[Inner[T]].children.headOption
+        .forall(_.isInstanceOf[Entry[_]])
+    var best: Inner[T] = null
+    var bestOverlap = Double.MaxValue
+    var bestEnlarge = Double.MaxValue
+    var bestArea = Double.MaxValue
+    var i = 0
+    while (i < kids.length) {
+      val c = kids(i).asInstanceOf[Inner[T]]
+      val merged = c.env.merged(env)
+      val enlarge = merged.area - c.env.area
+      val overlap =
+        if (!grandchildrenAreLeaves) 0.0
+        else {
+          var ov = 0.0
+          var j = 0
+          while (j < kids.length) {
+            if (j != i) {
+              val other = kids(j).env
+              ov += merged.intersectionArea(other) -
+                c.env.intersectionArea(other)
+            }
+            j += 1
+          }
+          ov
+        }
+      val area = c.env.area
+      val better =
+        overlap < bestOverlap ||
+          (overlap == bestOverlap && (enlarge < bestEnlarge ||
+            (enlarge == bestEnlarge && area < bestArea)))
+      if (better) {
+        best = c; bestOverlap = overlap; bestEnlarge = enlarge; bestArea = area
+      }
+      i += 1
+    }
+    best
+  }
+
+  /** Forced reinsertion (rstar/src/algorithm/rstar.rs:327-349): remove the
+    * REINSERTION_COUNT children whose centers are farthest from the node's
+    * center and hand them back for reinsertion.
+    */
+  private def reinsertOutliers(node: Inner[T]): Seq[Node[T]] = {
+    val center = node.env.center
+    val sorted = node.children.sortBy { c =>
+      -graft.geom.Pt.distance2(c.env.center, center)
+    }
+    val (out, keep) = sorted.splitAt(reinsertionCount)
+    node.children.clear()
+    node.children ++= keep
+    node.recomputeEnv()
+    recomputeEnvelopesOnPath(root, node)
+    out.toSeq
+  }
+
+  /** R* split (rstar/src/algorithm/rstar.rs:247-325): axis = minimum total
+    * perimeter over all legal distributions of lower/upper-sorted children;
+    * index = minimum overlap between the two groups (tie: minimum total
+    * area). Returns the new sibling to attach at the parent.
+    */
+  private def splitNode(node: Inner[T]): Option[Inner[T]] = {
+    val kids = node.children.toArray
+    val n = kids.length
+    val dims = node.env.dims
+
+    def distributions(sorted: Array[Node[T]]): Iterator[Int] =
+      Iterator.range(minSize, n - minSize + 1)
+
+    var bestAxis = 0
+    var bestAxisPerim = Double.MaxValue
+    var axisSorted: Array[Node[T]] = null
+    var axis = 0
+    while (axis < dims) {
+      val byLower = kids.sortBy(_.env.lower(axis))
+      var perim = 0.0
+      distributions(byLower).foreach { k =>
+        perim += envOf(byLower, 0, k).perimeterValue +
+          envOf(byLower, k, n).perimeterValue
+      }
+      if (perim < bestAxisPerim) {
+        bestAxisPerim = perim; bestAxis = axis; axisSorted = byLower
+      }
+      axis += 1
+    }
+    var bestK = minSize
+    var bestOverlap = Double.MaxValue
+    var bestArea = Double.MaxValue
+    distributions(axisSorted).foreach { k =>
+      val e1 = envOf(axisSorted, 0, k)
+      val e2 = envOf(axisSorted, k, n)
+      val ov = e1.intersectionArea(e2)
+      val ar = e1.area + e2.area
+      if (ov < bestOverlap || (ov == bestOverlap && ar < bestArea)) {
+        bestOverlap = ov; bestArea = ar; bestK = k
+      }
+    }
+    node.children.clear()
+    node.children ++= axisSorted.take(bestK)
+    node.recomputeEnv()
+    val sibling = Inner.ofChildren(axisSorted.drop(bestK))
+    Some(sibling)
+  }
+
+  private def attachSibling(node: Inner[T], sibling: Inner[T]): Unit = {
+    if (node eq root) {
+      val newRoot = Inner.ofChildren(Array[Node[T]](node, sibling))
+      root = newRoot
+    } else {
+      val parent = findParent(root, node).get
+      parent.children += sibling
+      recomputeEnvelopesOnPath(root, parent)
+      if (parent.children.length > maxSize)
+        splitNode(parent).foreach(s => attachSibling(parent, s))
+    }
+  }
+
+  private def findParent(cur: Inner[T], target: Inner[T]): Option[Inner[T]] = {
+    var i = 0
+    while (i < cur.children.length) {
+      cur.children(i) match {
+        case inner: Inner[T @unchecked] =>
+          if (inner eq target) return Some(cur)
+          if (inner.env.intersects(target.env)) {
+            val r = findParent(inner, target)
+            if (r.isDefined) return r
+          }
+        case _ => ()
+      }
+      i += 1
+    }
+    None
+  }
+
+  private def recomputeEnvelopesOnPath(cur: Inner[T], changed: Inner[T]): Boolean = {
+    if (cur eq changed) { cur.recomputeEnv(); return true }
+    var found = false
+    var i = 0
+    while (i < cur.children.length && !found) {
+      cur.children(i) match {
+        case inner: Inner[T @unchecked] =>
+          found = recomputeEnvelopesOnPath(inner, changed)
+        case _ => ()
+      }
+      i += 1
+    }
+    if (found) cur.recomputeEnv()
+    found
+  }
+
+  // -------------------------------------------------------------- queries
+
+  /** Elements whose envelope is fully contained in `q` — the reference's
+    * `locate_in_envelope` (rstar/src/rtree.rs:351-390): prune subtrees whose
+    * envelope does not intersect `q`; accept leaves contained in `q`.
+    */
+  def queryContained(q: AABB): Iterator[Entry[T]] =
+    select(env => q.intersects(env), e => q.containsEnvelope(e.env))
+
+  /** Elements whose envelope intersects `q` — `locate_in_envelope_intersecting`
+    * (rstar/src/rtree.rs:412-498); touching counts.
+    */
+  def queryIntersecting(q: AABB): Iterator[Entry[T]] =
+    select(env => q.intersects(env), e => q.intersects(e.env))
+
+  /** All elements containing point `p` — `locate_all_at_point`
+    * (rstar/src/rtree.rs:802-843). `contains` decides per-leaf containment
+    * (exact equality for points, box containment for rectangles —
+    * rstar/src/object.rs:164-171).
+    */
+  def locateAllAtPoint(
+      p: Array[Double],
+      contains: Entry[T] => Boolean = null): Iterator[Entry[T]] = {
+    val c =
+      if (contains == null) (e: Entry[T]) => e.env.containsPoint(p)
+      else contains
+    select(env => env.containsPoint(p), c)
+  }
+
+  /** Elements with squared distance ≤ r² — `locate_within_distance`
+    * (rstar/src/rtree.rs:1045-1060): prune by envelope distance lower bound.
+    */
+  def withinDistance2(
+      p: Array[Double], r2: Double,
+      dist: Entry[T] => Double = null): Iterator[Entry[T]] = {
+    val d = if (dist == null) (e: Entry[T]) => e.env.distance2(p) else dist
+    select(env => env.distance2(p) <= r2, e => d(e) <= r2)
+  }
+
+  /** Generic index-aware search — `locate_with_selection_function`
+    * (rstar/src/rtree.rs:500-520). `unpackParent` prunes subtrees,
+    * `acceptLeaf` is the final predicate
+    * (rstar/src/algorithm/selection_functions.rs:23-37). Explicit-stack
+    * external iteration as in rstar/src/algorithm/iterators.rs:42-95.
+    */
+  def select(
+      unpackParent: AABB => Boolean,
+      acceptLeaf: Entry[T] => Boolean): Iterator[Entry[T]] =
+    new Iterator[Entry[T]] {
+      private val stack = mutable.ArrayDeque.empty[Node[T]]
+      if (cnt > 0 && unpackParent(root.env)) stack.append(root)
+      private var nextEntry: Entry[T] = _
+      private var ready = false
+
+      private def advance(): Unit = {
+        while (!ready && stack.nonEmpty) {
+          stack.removeLast() match {
+            case inner: Inner[T @unchecked] =>
+              val kids = inner.children
+              var i = 0
+              while (i < kids.length) {
+                val k = kids(i)
+                k match {
+                  case e: Entry[T @unchecked] =>
+                    stack.append(e) // accepted or dropped on pop
+                  case in: Inner[T @unchecked] =>
+                    if (unpackParent(in.env)) stack.append(in)
+                }
+                i += 1
+              }
+            case e: Entry[T @unchecked] =>
+              if (acceptLeaf(e)) { nextEntry = e; ready = true }
+          }
+        }
+      }
+
+      def hasNext: Boolean = { if (!ready) advance(); ready }
+      def next(): Entry[T] = {
+        if (!hasNext) throw new NoSuchElementException
+        ready = false
+        nextEntry
+      }
+    }
+
+  /** Unordered scan of all elements (`iter`, rstar/src/rtree.rs:313-329). */
+  def iterator: Iterator[Entry[T]] = select(_ => true, _ => true)
+
+  /** Membership test (`contains`, rstar/src/rtree.rs:870-892). */
+  def containsEntry(e: Entry[T]): Boolean =
+    select(env => env.containsEnvelope(e.env), _ == e).hasNext
+
+  // ------------------------------------------------------ nearest neighbor
+
+  /** Exact 1-NN — branch-and-bound best-first search with MinMaxDist
+    * pruning (rstar/src/rtree.rs:925-975, algorithm
+    * rstar/src/algorithm/nearest_neighbor.rs:232-295). Returns the element
+    * and its squared distance.
+    */
+  def nearestNeighbor(
+      p: Array[Double],
+      dist: Entry[T] => Double = null): Option[(Entry[T], Double)] = {
+    if (cnt == 0) return None
+    val d = if (dist == null) (e: Entry[T]) => e.env.distance2(p) else dist
+    val heap = new mutable.PriorityQueue[(Double, Node[T])]()(
+      Ordering.by[(Double, Node[T]), Double](_._1).reverse)
+    var smallestMinMax = Double.MaxValue
+    def pushChildren(inner: Inner[T]): Unit = {
+      val kids = inner.children
+      var i = 0
+      while (i < kids.length) {
+        kids(i) match {
+          case e: Entry[T @unchecked] =>
+            val dd = e.env.distance2(p)
+            if (dd <= smallestMinMax) heap.enqueue((dd, e))
+          case in: Inner[T @unchecked] =>
+            val lb = in.env.distance2(p)
+            if (lb <= smallestMinMax) {
+              smallestMinMax = math.min(smallestMinMax, in.env.minMaxDist2(p))
+              heap.enqueue((lb, in))
+            }
+        }
+        i += 1
+      }
+    }
+    pushChildren(root)
+    while (heap.nonEmpty) {
+      val (dd, node) = heap.dequeue()
+      node match {
+        case e: Entry[T @unchecked] =>
+          val exact = d(e)
+          if (exact <= dd || heap.isEmpty || exact <= heap.head._1)
+            return Some((e, exact))
+          else heap.enqueue((exact, e))
+        case in: Inner[T @unchecked] => pushChildren(in)
+      }
+    }
+    // Float-anomaly fallback: linear scan (rstar/src/rtree.rs:964-975).
+    iterator.map(e => (e, d(e))).minByOption(_._2)
+  }
+
+  /** Lazy distance-ordered stream of ALL elements — `nearest_neighbor_iter`
+    * (rstar/src/rtree.rs:1075-1122, algorithm nearest_neighbor.rs:56-158):
+    * a min-heap mixing nodes (keyed by envelope lower-bound distance) and
+    * elements (keyed by exact distance); a popped element is the next
+    * nearest.
+    */
+  def nearestNeighborIter(
+      p: Array[Double],
+      dist: Entry[T] => Double = null): Iterator[(Entry[T], Double)] = {
+    val d = if (dist == null) (e: Entry[T]) => e.env.distance2(p) else dist
+    new Iterator[(Entry[T], Double)] {
+      private val heap = new mutable.PriorityQueue[(Double, Node[T])]()(
+        Ordering.by[(Double, Node[T]), Double](_._1).reverse)
+      if (cnt > 0) heap.enqueue((root.env.distance2(p), root))
+
+      private def settle(): Unit = {
+        while (heap.nonEmpty && !heap.head._2.isInstanceOf[Entry[_]]) {
+          val (_, node) = heap.dequeue()
+          val kids = node.asInstanceOf[Inner[T]].children
+          var i = 0
+          while (i < kids.length) {
+            kids(i) match {
+              case e: Entry[T @unchecked] => heap.enqueue((d(e), e))
+              case in: Inner[T @unchecked] =>
+                heap.enqueue((in.env.distance2(p), in))
+            }
+            i += 1
+          }
+        }
+      }
+      def hasNext: Boolean = { settle(); heap.nonEmpty }
+      def next(): (Entry[T], Double) = {
+        settle()
+        val (dd, e) = heap.dequeue()
+        (e.asInstanceOf[Entry[T]], dd)
+      }
+    }
+  }
+
+  /** All co-equal nearest neighbors — `nearest_neighbors`
+    * (rstar/src/rtree.rs:977-1043): the 1-NN then every element at exactly
+    * the same distance (float-exact comparison, no epsilon —
+    * nearest_neighbor.rs:297-321).
+    */
+  def nearestNeighbors(
+      p: Array[Double],
+      dist: Entry[T] => Double = null): Seq[Entry[T]] = {
+    val it = nearestNeighborIter(p, dist)
+    if (!it.hasNext) return Seq.empty
+    val (first, d0) = it.next()
+    val out = mutable.ArrayBuffer(first)
+    var done = false
+    while (!done && it.hasNext) {
+      val (e, dd) = it.next()
+      if (dd == d0) out += e else done = true
+    }
+    out.toSeq
+  }
+
+  /** k nearest elements, distance-ordered (batch form of K1/K2). */
+  def nearestK(
+      p: Array[Double], k: Int,
+      dist: Entry[T] => Double = null): Seq[(Entry[T], Double)] =
+    nearestNeighborIter(p, dist).take(k).toSeq
+
+  /** 1-NN removed and returned — `pop_nearest_neighbor`
+    * (rstar/src/rtree.rs:1124-1150).
+    */
+  def popNearestNeighbor(p: Array[Double]): Option[Entry[T]] =
+    nearestNeighbor(p).map { case (e, _) =>
+      removeOne(x => x eq e, x => x.containsEnvelope(e.env))
+      e
+    }
+
+  // ---------------------------------------------------------------- joins
+
+  /** Pairwise spatial join of two trees: all pairs whose envelopes
+    * intersect — `intersection_candidates_with_other_tree`
+    * (rstar/src/rtree.rs:522-534). Candidates only: no exact geometric
+    * intersection check. Synchronized dual-tree descent; only child pairs
+    * with intersecting envelopes are pushed
+    * (rstar/src/algorithm/intersection_iterator.rs:15-104).
+    */
+  def intersectionCandidates[U](
+      other: LocalRTree[U]): Iterator[(Entry[T], Entry[U])] =
+    new Iterator[(Entry[T], Entry[U])] {
+      private val stack = mutable.ArrayDeque.empty[(Node[T], Node[U])]
+      if (cnt > 0 && other.size > 0 &&
+        root.env.intersects(other.rootNode.env))
+        stack.append((root, other.rootNode))
+      private var out: (Entry[T], Entry[U]) = _
+      private var ready = false
+
+      private def pushPair(a: Node[T], b: Node[U]): Unit =
+        if (a.env.intersects(b.env)) stack.append((a, b))
+
+      private def advance(): Unit = {
+        while (!ready && stack.nonEmpty) {
+          stack.removeLast() match {
+            case (a: Entry[T @unchecked], b: Entry[U @unchecked]) =>
+              out = (a, b); ready = true
+            case (a: Entry[T @unchecked], b: Inner[U @unchecked]) =>
+              b.children.foreach(c => pushPair(a, c))
+            case (a: Inner[T @unchecked], b: Entry[U @unchecked]) =>
+              a.children.foreach(c => pushPair(c, b))
+            case (a: Inner[T @unchecked], b: Inner[U @unchecked]) =>
+              // expand both: cross all intersecting child pairs
+              a.children.foreach { ca =>
+                b.children.foreach { cb => pushPair(ca, cb) }
+              }
+          }
+        }
+      }
+      def hasNext: Boolean = { if (!ready) advance(); ready }
+      def next(): (Entry[T], Entry[U]) = {
+        if (!hasNext) throw new NoSuchElementException
+        ready = false
+        out
+      }
+    }
+
+  // -------------------------------------------------------------- removal
+
+  /** Remove ONE matching element and return it — generalizes `remove`,
+    * `remove_at_point`, `remove_with_selection_function`
+    * (rstar/src/rtree.rs:696-706, :845-867, :894-917). The tree is rebuilt
+    * consistent (bulk reload of the survivors — query-equivalent to the
+    * reference's in-place removal with ancestor envelope recompute,
+    * rstar/src/algorithm/removal.rs:120-126).
+    */
+  def removeOne(
+      pred: Entry[T] => Boolean,
+      prune: AABB => Boolean = _ => true): Option[Entry[T]] = {
+    val victim = select(prune, pred).nextOption()
+    victim.foreach { v =>
+      val survivors = iterator.filter(_ ne v).toArray
+      bulkLoad(survivors)
+    }
+    victim
+  }
+
+  /** Remove-and-yield all matches — the `drain_*` family
+    * (rstar/src/rtree.rs:392-411, :708-740, :1062-1073).
+    */
+  def drain(
+      pred: Entry[T] => Boolean = _ => true,
+      prune: AABB => Boolean = _ => true): Seq[Entry[T]] = {
+    val (removed, kept) = iterator.toArray.partition(e =>
+      prune(e.env) && pred(e))
+    bulkLoad(kept)
+    removed.toSeq
+  }
+
+  // ----------------------------------------------------------- invariants
+
+  private def height(n: Inner[T]): Int =
+    n.children.headOption match {
+      case Some(in: Inner[T @unchecked]) => 1 + height(in)
+      case _ => 1
+    }
+
+  /** Structural invariant check, mirroring the reference's test-only
+    * `sanity_check` (rstar/src/node.rs:106-155): uniform leaf depth, exact
+    * parent envelopes, and — when `checkFanout` (insert-built trees) —
+    * MIN_SIZE ≤ children ≤ MAX_SIZE for every non-root parent. Bulk loading
+    * may legally exceed MAX_SIZE at the root (rstar/src/rtree.rs:1366-1370).
+    */
+  def sanityCheck(checkFanout: Boolean = false): Unit = {
+    if (cnt == 0) return
+    var leafDepth = -1
+    def walk(n: Node[T], depth: Int, isRoot: Boolean): Unit = n match {
+      case e: Entry[T @unchecked] =>
+        if (leafDepth < 0) leafDepth = depth
+        require(leafDepth == depth, s"non-uniform leaf depth: $depth vs $leafDepth")
+      case in: Inner[T @unchecked] =>
+        require(in.children.nonEmpty || isRoot, "empty non-root parent")
+        if (checkFanout && !isRoot) {
+          require(in.children.length >= minSize,
+            s"underfull node: ${in.children.length} < $minSize")
+          require(in.children.length <= maxSize,
+            s"overfull node: ${in.children.length} > $maxSize")
+        }
+        val merged = AABB.empty(in.env.dims)
+        in.children.foreach(c => merged.mergeInPlace(c.env))
+        require(merged == in.env,
+          s"stale envelope: have ${in.env}, children merge to $merged")
+        in.children.foreach(c => walk(c, depth + 1, isRoot = false))
+    }
+    walk(root, 0, isRoot = true)
+  }
+}
+
+object LocalRTree {
+
+  /** Tree node: either an element (`Entry`) or an interior node, mirroring
+    * `RTreeNode::{Leaf,Parent}` (rstar/src/node.rs:23-45).
+    */
+  sealed trait Node[T] extends Serializable { def env: AABB }
+
+  final class Inner[T](
+      var env: AABB,
+      val children: mutable.ArrayBuffer[Node[T]]) extends Node[T] {
+    def recomputeEnv(): Unit = {
+      val dims = if (env != null) env.dims else 2
+      val e = AABB.empty(dims)
+      children.foreach(c => e.mergeInPlace(c.env))
+      env = e
+    }
+  }
+
+  object Inner {
+    def empty[T]: Inner[T] =
+      new Inner[T](AABB.empty(2), mutable.ArrayBuffer.empty)
+    def ofChildren[T](cs: Array[Node[T]]): Inner[T] = {
+      val buf = mutable.ArrayBuffer.empty[Node[T]]
+      buf ++= cs
+      val n = new Inner[T](if (cs.isEmpty) AABB.empty(2) else null, buf)
+      if (cs.nonEmpty) {
+        val e = AABB.empty(cs(0).env.dims)
+        cs.foreach(c => e.mergeInPlace(c.env))
+        n.env = e
+      }
+      n
+    }
+  }
+
+  private[index] def ceilDiv(a: Int, b: Int): Int = (a + b - 1) / b
+
+  /** OMT cluster count per axis (cluster_group_iterator.rs:63-79):
+    * depth = ceil(log_M n); clusters = ceil(n / M^(depth-1));
+    * per-axis = floor(clusters^(1/dims)).
+    */
+  private[index] def clustersPerAxis(n: Int, m: Int, dims: Int): Int = {
+    val depth = math.ceil(math.log(n.toDouble) / math.log(m.toDouble)).toInt
+    val nSubtree = math.pow(m.toDouble, (depth - 1).toDouble)
+    val clusters = math.ceil(n.toDouble / nSubtree)
+    math.floor(math.pow(clusters, 1.0 / dims)).toInt
+  }
+
+  private[index] def sortRange[T](
+      es: Array[Entry[T]], lo: Int, hi: Int, axis: Int): Unit =
+    java.util.Arrays.sort(
+      es.asInstanceOf[Array[Object]], lo, hi,
+      new java.util.Comparator[Object] {
+        def compare(a: Object, b: Object): Int =
+          java.lang.Double.compare(
+            a.asInstanceOf[Entry[T]].env.lower(axis),
+            b.asInstanceOf[Entry[T]].env.lower(axis))
+      })
+
+  private[index] def envOf[T](ns: Array[Node[T]], lo: Int, hi: Int): AABB = {
+    val e = AABB.empty(ns(lo).env.dims)
+    var i = lo
+    while (i < hi) { e.mergeInPlace(ns(i).env); i += 1 }
+    e
+  }
+}

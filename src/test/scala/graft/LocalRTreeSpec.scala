@@ -1,0 +1,278 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.geom._
+import graft.index.{Entry, LocalRTree}
+
+/** Randomized oracle tests against brute force with fixed seeds — the
+  * reference's dominant test pattern (SURVEY.md §5; e.g.
+  * rstar/src/algorithm/nearest_neighbor.rs:336-354,
+  * intersection_iterator.rs:112-134, iterators.rs:309-325).
+  * Deterministic SplitMix64 replaces the reference's Hc128Rng.
+  */
+object Rng {
+  /** SplitMix64 — public-domain PRNG (Steele et al., JDK SplittableRandom). */
+  def splitmix64(seed: Long): Long = {
+    var z = seed + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+  def uniform(seed: Long, i: Long): Double =
+    (splitmix64(seed * 0x100000001b3L + i) >>> 11).toDouble / (1L << 53).toDouble
+
+  /** Uniform [0,1)² points, like create_random_points (test_utilities.rs:23-30). */
+  def points(n: Int, seed: Long): Array[Array[Double]] =
+    Array.tabulate(n)(i =>
+      Array(uniform(seed, 2L * i), uniform(seed, 2L * i + 1)))
+
+  /** Random rectangles: envelopes of short random segments, like
+    * create_random_rectangles (test_utilities.rs:47-50).
+    */
+  def rects(n: Int, seed: Long): Array[AABB] =
+    Array.tabulate(n) { i =>
+      val x = uniform(seed, 4L * i)
+      val y = uniform(seed, 4L * i + 1)
+      val dx = (uniform(seed, 4L * i + 2) - 0.5) * (10.0 / n)
+      val dy = (uniform(seed, 4L * i + 3) - 0.5) * (10.0 / n)
+      AABB.fromCorners(Array(x, y), Array(x + dx, y + dy))
+    }
+}
+
+class LocalRTreeSpec extends AnyFunSuite {
+  import Rng._
+
+  private def pointTree(ps: Array[Array[Double]]): LocalRTree[Int] =
+    new LocalRTree[Int]().bulkLoad(
+      ps.zipWithIndex.map { case (p, i) => Entry(AABB.fromPoint(p), i) })
+
+  private val P1000 = points(1000, seed = 1)
+  private val QUERIES = points(100, seed = 2)
+
+  test("bulk load preserves the exact element multiset across sizes 0..693 step 7 " +
+    "(bulk_load_sequential.rs:124-151)") {
+    (0 to 693 by 7).foreach { n =>
+      val ps = points(n, seed = n + 7)
+      val t = pointTree(ps)
+      assert(t.size == n)
+      val got = t.iterator.map(_.value).toSeq.sorted
+      assert(got == (0 until n))
+      t.sanityCheck()
+    }
+  }
+
+  test("bulk load handles degenerate coplanar points (rtree.rs:1307-1371)") {
+    val ps = Array.tabulate(50)(i =>
+      Array(i.toDouble % 7, 1080.0, (i / 7).toDouble))
+    val t = new LocalRTree[Int]().bulkLoad(
+      ps.zipWithIndex.map { case (p, i) => Entry(AABB.fromPoint(p), i) })
+    assert(t.size == 50)
+    t.sanityCheck()
+    assert(t.iterator.size == 50)
+  }
+
+  test("envelope query (contained) vs filtered scan (iterators.rs:309-325)") {
+    val rs = rects(1000, seed = 3)
+    val t = new LocalRTree[Int]().bulkLoad(
+      rs.zipWithIndex.map { case (r, i) => Entry(r, i) })
+    (0 until 50).foreach { qi =>
+      val q = AABB.fromCorners(
+        Array(uniform(9, 4 * qi), uniform(9, 4 * qi + 1)),
+        Array(uniform(9, 4 * qi) + 0.3, uniform(9, 4 * qi + 1) + 0.3))
+      val got = t.queryContained(q).map(_.value).toSet
+      val want = rs.zipWithIndex.collect {
+        case (r, i) if q.containsEnvelope(r) => i
+      }.toSet
+      assert(got == want)
+    }
+  }
+
+  test("envelope query (intersecting) vs filtered scan; touching counts " +
+    "(rtree.rs:412-498)") {
+    val rs = rects(1000, seed = 4)
+    val t = new LocalRTree[Int]().bulkLoad(
+      rs.zipWithIndex.map { case (r, i) => Entry(r, i) })
+    (0 until 50).foreach { qi =>
+      val q = AABB.fromCorners(
+        Array(uniform(11, 4 * qi), uniform(11, 4 * qi + 1)),
+        Array(uniform(11, 4 * qi) + 0.2, uniform(11, 4 * qi + 1) + 0.2))
+      val got = t.queryIntersecting(q).map(_.value).toSet
+      val want = rs.zipWithIndex.collect {
+        case (r, i) if q.intersects(r) => i
+      }.toSet
+      assert(got == want)
+    }
+  }
+
+  test("locate_all_at_point vs filtered scan (rtree.rs:802-843)") {
+    val rs = rects(2000, seed = 5).map(r =>
+      // widen so points actually hit rectangles
+      AABB.of2d(r.lower(0) - 0.01, r.lower(1) - 0.01,
+        r.upper(0) + 0.01, r.upper(1) + 0.01))
+    val t = new LocalRTree[Int]().bulkLoad(
+      rs.zipWithIndex.map { case (r, i) => Entry(r, i) })
+    QUERIES.foreach { p =>
+      val got = t.locateAllAtPoint(p).map(_.value).toSet
+      val want = rs.zipWithIndex.collect {
+        case (r, i) if r.containsPoint(p) => i
+      }.toSet
+      assert(got == want)
+    }
+  }
+
+  test("locate_within_distance vs filtered scan (iterators.rs:389-410)") {
+    val t = pointTree(P1000)
+    val r2 = 0.02
+    QUERIES.foreach { q =>
+      val got = t.withinDistance2(q, r2).map(_.value).toSet
+      val want = P1000.zipWithIndex.collect {
+        case (p, i) if Pt.distance2(p, q) <= r2 => i
+      }.toSet
+      assert(got == want)
+    }
+  }
+
+  test("1-NN vs linear scan over 1000 points × 100 queries " +
+    "(nearest_neighbor.rs:336-354)") {
+    val t = pointTree(P1000)
+    QUERIES.foreach { q =>
+      val (got, d2) = t.nearestNeighbor(q).get
+      val want = P1000.map(p => Pt.distance2(p, q)).min
+      assert(d2 == want, s"query ${q.toSeq}")
+      assert(Pt.distance2(P1000(got.value), q) == want)
+    }
+  }
+
+  test("distance-ordered full iteration vs sort-by-distance " +
+    "(nearest_neighbor.rs:383-397)") {
+    val t = pointTree(points(300, seed = 6))
+    val q = Array(0.5, 0.5)
+    val got = t.nearestNeighborIter(q).map(_._2).toSeq
+    assert(got == got.sorted)
+    assert(got.size == 300)
+    val want = points(300, seed = 6).map(p => Pt.distance2(p, q)).sorted.toSeq
+    assert(got == want)
+  }
+
+  test("nearest_neighbors returns the exact co-equal tie set " +
+    "(rtree.rs:985-1002, float-exact, no epsilon)") {
+    val ps = Array(
+      Array(1.0, 0.0), Array(-1.0, 0.0), Array(0.0, 1.0), Array(0.0, -1.0),
+      Array(3.0, 3.0), Array(2.0, 2.0))
+    val t = pointTree(ps)
+    val ties = t.nearestNeighbors(Array(0.0, 0.0)).map(_.value).toSet
+    assert(ties == Set(0, 1, 2, 3))
+  }
+
+  test("kNN takes the k closest in order") {
+    val t = pointTree(P1000)
+    QUERIES.take(20).foreach { q =>
+      val got = t.nearestK(q, 10).map(_._2)
+      val want = P1000.map(p => Pt.distance2(p, q)).sorted.take(10).toSeq
+      assert(got == want)
+    }
+  }
+
+  test("dual-tree intersection candidates vs O(n·m) nested loop " +
+    "(intersection_iterator.rs:112-134)") {
+    val ra = rects(300, seed = 7)
+    val rb = rects(200, seed = 8)
+    val ta = new LocalRTree[Int]().bulkLoad(
+      ra.zipWithIndex.map { case (r, i) => Entry(r, i) })
+    val tb = new LocalRTree[Int]().bulkLoad(
+      rb.zipWithIndex.map { case (r, i) => Entry(r, i) })
+    val got = ta.intersectionCandidates(tb)
+      .map { case (a, b) => (a.value, b.value) }.toSet
+    val want = (for {
+      (a, i) <- ra.zipWithIndex; (b, j) <- rb.zipWithIndex
+      if a.intersects(b)
+    } yield (i, j)).toSet
+    assert(got == want)
+  }
+
+  test("self-join of a point set yields exactly size pairs " +
+    "(intersection_iterator.rs:137-155)") {
+    val ps = points(500, seed = 12)
+    val t1 = pointTree(ps)
+    val t2 = pointTree(ps)
+    assert(t1.intersectionCandidates(t2).size == 500)
+  }
+
+  test("R* insert: tree invariants hold after every insert " +
+    "(rtree.rs:1262-1274); duplicates stored twice (rtree.rs:905-917)") {
+    val t = new LocalRTree[Int]()
+    val ps = points(250, seed = 9)
+    ps.zipWithIndex.foreach { case (p, i) =>
+      t.insert(Entry(AABB.fromPoint(p), i))
+      t.sanityCheck(checkFanout = true)
+    }
+    assert(t.size == 250)
+    assert(t.iterator.map(_.value).toSeq.sorted == (0 until 250))
+    // duplicate insert stores twice
+    t.insert(Entry(AABB.fromPoint(ps(0)), 0))
+    assert(t.size == 251)
+    assert(t.locateAllAtPoint(ps(0),
+      e => java.util.Arrays.equals(e.env.lower, ps(0))).size == 2)
+  }
+
+  test("insert-built tree answers queries identically to bulk-loaded tree") {
+    val ps = points(400, seed = 10)
+    val tIns = new LocalRTree[Int]()
+    ps.zipWithIndex.foreach { case (p, i) =>
+      tIns.insert(Entry(AABB.fromPoint(p), i)) }
+    val tBulk = pointTree(ps)
+    QUERIES.take(30).foreach { q =>
+      assert(tIns.nearestNeighbor(q).get._2 == tBulk.nearestNeighbor(q).get._2)
+      val box = AABB.of2d(q(0) - 0.1, q(1) - 0.1, q(0) + 0.1, q(1) + 0.1)
+      assert(tIns.queryIntersecting(box).map(_.value).toSet ==
+        tBulk.queryIntersecting(box).map(_.value).toSet)
+    }
+  }
+
+  test("remove / drain round-trip (removal.rs:257-302, :336-377)") {
+    val ps = points(200, seed = 11)
+    val t = pointTree(ps)
+    // remove one element containing a known point
+    val victim = t.removeOne(
+      e => java.util.Arrays.equals(e.env.lower, ps(7)),
+      env => env.containsPoint(ps(7)))
+    assert(victim.exists(_.value == 7))
+    assert(t.size == 199)
+    t.sanityCheck()
+    // drain everything within a box; survivors + drained partition the set
+    val q = AABB.of2d(0.0, 0.0, 0.5, 0.5)
+    val drained = t.drain(e => q.containsEnvelope(e.env), env => q.intersects(env))
+    assert(drained.forall(e => q.containsPoint(e.env.lower)))
+    assert(t.iterator.forall(e => !q.containsEnvelope(e.env)))
+    assert(drained.size + t.size == 199)
+    // pop_nearest_neighbor consumes in distance order (rtree.rs:1129-1139)
+    val t2 = pointTree(points(50, seed = 13))
+    val dists = Iterator.continually(t2.popNearestNeighbor(Array(0.5, 0.5)))
+      .takeWhile(_.isDefined).map(e =>
+        Pt.distance2(e.get.env.lower, Array(0.5, 0.5))).toSeq
+    assert(dists.size == 50)
+    assert(dists == dists.sorted)
+    assert(t2.size == 0)
+  }
+
+  test("serialization round-trip preserves query results (rtree.rs:1289-1305)") {
+    val t = pointTree(points(300, seed = 14))
+    val bos = new java.io.ByteArrayOutputStream()
+    new java.io.ObjectOutputStream(bos).writeObject(t)
+    val t2 = new java.io.ObjectInputStream(
+      new java.io.ByteArrayInputStream(bos.toByteArray))
+      .readObject().asInstanceOf[LocalRTree[Int]]
+    assert(t2.size == t.size)
+    QUERIES.take(10).foreach { q =>
+      assert(t2.nearestNeighbor(q).get._2 == t.nearestNeighbor(q).get._2)
+    }
+  }
+
+  test("empty tree: queries return nothing, NN returns None (rtree.rs:960-975)") {
+    val t = new LocalRTree[Int]()
+    assert(t.size == 0)
+    assert(t.nearestNeighbor(Array(0.0, 0.0)).isEmpty)
+    assert(t.queryIntersecting(AABB.of2d(0, 0, 1, 1)).isEmpty)
+    assert(t.iterator.isEmpty)
+  }
+}
