@@ -1,0 +1,280 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.engine._
+import graft.geom.AABB
+import graft.index.CellGrid
+import graft.functions.SpatialFunctions._
+import TpchGeo._
+
+/** The operator suite exposed through SparkEntry: each entry is one
+  * reference operator from SURVEY.md §2 re-expressed as a Spark plan over
+  * the driver's TPC-H-ish tables, paired (in SparkEntry.oracleSql) with an
+  * ANSI-SQL twin whose arithmetic is bit-identical (TpchGeo).
+  */
+object Queries {
+
+  /** Grid used by the SparkEntry operators. res 4 → 256 cells: small-scale
+    * testing resolution; production scale would use res 7-9 (SURVEY §4.1).
+    */
+  val grid: CellGrid = CellGrid.lonLat(4)
+
+  // Fixed query constants, shared by Spark plans and SQL oracles.
+  val QB: (Double, Double, Double, Double) = (-30.0, -20.0, 40.0, 35.0)
+  val PT: (Double, Double) = (10.0, 10.0)
+  val R2: Double = 900.0
+  val K: Int = 5
+
+  /** SQL twin of SpatialFunctions.stCell on the lonLat(4) grid. */
+  def cellSql(x: String, y: String): String = {
+    val n = grid.cellsPerAxis
+    s"(LEAST(${n - 1}, GREATEST(0, CAST(FLOOR(($x - -180.0) / 360.0 * $n) AS BIGINT))) * $n" +
+      s" + LEAST(${n - 1}, GREATEST(0, CAST(FLOOR(($y - -90.0) / 180.0 * $n) AS BIGINT))))"
+  }
+
+  // --------------------------------------------------------- C2/G5: build
+
+  /** Distributed bulk-load stage 1: cell histogram + per-cell envelope. */
+  def cellStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pts = points(load(spark, dir, "customer"), "c_custkey").as[PointRow]
+    SpatialOps.cellStats(pts, grid).toDF()
+      .select(col("cell"), col("cnt"),
+        col("minX").as("min_x"), col("minY").as("min_y"),
+        col("maxX").as("max_x"), col("maxY").as("max_y"))
+      .orderBy("cell")
+  }
+
+  val cellStatsSql: String =
+    s"""WITH pts AS (${pointsSql("customer", "c_custkey")}),
+       |c AS (SELECT ${cellSql("x", "y")} AS cell, x, y FROM pts)
+       |SELECT cell, COUNT(*) AS cnt, MIN(x) AS min_x, MIN(y) AS min_y,
+       | MAX(x) AS max_x, MAX(y) AS max_y
+       |FROM c GROUP BY cell ORDER BY cell""".stripMargin
+
+  // ------------------------------------------------------- F1: contained
+
+  def rangeContained(spark: SparkSession, dir: String): DataFrame =
+    rects(load(spark, dir, "orders"), "o_orderkey")
+      .where(stContainsBox(
+        lit(QB._1), lit(QB._2), lit(QB._3), lit(QB._4),
+        col("min_x"), col("min_y"), col("max_x"), col("max_y")))
+      .orderBy("id")
+
+  val rangeContainedSql: String =
+    s"""WITH r AS (${rectsSql("orders", "o_orderkey")})
+       |SELECT * FROM r
+       |WHERE min_x >= ${QB._1} AND min_y >= ${QB._2}
+       |  AND max_x <= ${QB._3} AND max_y <= ${QB._4}
+       |ORDER BY id""".stripMargin
+
+  // ---------------------------------------------------- F2: intersecting
+
+  def rangeIntersecting(spark: SparkSession, dir: String): DataFrame =
+    rects(load(spark, dir, "orders"), "o_orderkey")
+      .where(stIntersectsBox(
+        col("min_x"), col("min_y"), col("max_x"), col("max_y"),
+        lit(QB._1), lit(QB._2), lit(QB._3), lit(QB._4)))
+      .orderBy("id")
+
+  val rangeIntersectingSql: String =
+    s"""WITH r AS (${rectsSql("orders", "o_orderkey")})
+       |SELECT * FROM r
+       |WHERE min_x <= ${QB._3} AND max_x >= ${QB._1}
+       |  AND min_y <= ${QB._4} AND max_y >= ${QB._2}
+       |ORDER BY id""".stripMargin
+
+  // -------------------------------------------------- F3: locate at point
+
+  def locateAllAtPoint(spark: SparkSession, dir: String): DataFrame =
+    rects(load(spark, dir, "orders"), "o_orderkey")
+      .where(stContainsPoint(
+        col("min_x"), col("min_y"), col("max_x"), col("max_y"),
+        lit(PT._1), lit(PT._2)))
+      .orderBy("id")
+
+  val locateAllAtPointSql: String =
+    s"""WITH r AS (${rectsSql("orders", "o_orderkey")})
+       |SELECT * FROM r
+       |WHERE min_x <= ${PT._1} AND ${PT._1} <= max_x
+       |  AND min_y <= ${PT._2} AND ${PT._2} <= max_y
+       |ORDER BY id""".stripMargin
+
+  // ------------------------------------------------- F4: within distance
+
+  def withinDistance(spark: SparkSession, dir: String): DataFrame =
+    points(load(spark, dir, "customer"), "c_custkey")
+      .withColumn("d2", stDistanceSq(col("x"), col("y"), lit(0.0), lit(0.0)))
+      .where(col("d2") <= R2)
+      .select("id", "d2")
+      .orderBy("id")
+
+  val withinDistanceSql: String =
+    s"""WITH p AS (${pointsSql("customer", "c_custkey")})
+       |SELECT id, (x - 0.0)*(x - 0.0) + (y - 0.0)*(y - 0.0) AS d2 FROM p
+       |WHERE (x - 0.0)*(x - 0.0) + (y - 0.0)*(y - 0.0) <= $R2
+       |ORDER BY id""".stripMargin
+
+  // --------------------------------------------------- J2/K1/K2: kNN join
+
+  private def nationQueries(spark: SparkSession, dir: String) = {
+    import spark.implicits._
+    load(spark, dir, "nation")
+      .select(col("n_nationkey").cast("long").as("qid"))
+      .select(col("qid"), qx(col("qid")).as("x"), qy(col("qid")).as("y"))
+      .as[QueryRow]
+  }
+
+  def knnJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val data = points(load(spark, dir, "customer"), "c_custkey").as[PointRow]
+    SpatialOps.knnJoin(nationQueries(spark, dir), data, K, grid)
+      .withColumn("rn", col("rn").cast("long"))
+      .orderBy("qid", "rn")
+  }
+
+  val knnJoinSql: String =
+    s"""WITH d AS (${pointsSql("customer", "c_custkey")}),
+       |q AS (SELECT CAST(n_nationkey AS BIGINT) AS qid,
+       |  ${qxSql("CAST(n_nationkey AS BIGINT)")} AS x,
+       |  ${qySql("CAST(n_nationkey AS BIGINT)")} AS y FROM nation),
+       |j AS (SELECT q.qid, d.id,
+       |  (d.x - q.x)*(d.x - q.x) + (d.y - q.y)*(d.y - q.y) AS d2
+       |  FROM q CROSS JOIN d),
+       |r AS (SELECT qid, id, d2,
+       |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2, id) AS rn FROM j)
+       |SELECT qid, id, d2, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= $K
+       |ORDER BY qid, rn""".stripMargin
+
+  // ------------------------------------------- K3: co-equal nearest ties
+
+  def nnTies(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val data = points(load(spark, dir, "customer"), "c_custkey").as[PointRow]
+    SpatialOps.knnJoin(nationQueries(spark, dir), data, 1, grid, keepTies = true)
+      .select("qid", "id", "d2")
+      .orderBy("qid", "id")
+  }
+
+  val nnTiesSql: String =
+    s"""WITH d AS (${pointsSql("customer", "c_custkey")}),
+       |q AS (SELECT CAST(n_nationkey AS BIGINT) AS qid,
+       |  ${qxSql("CAST(n_nationkey AS BIGINT)")} AS x,
+       |  ${qySql("CAST(n_nationkey AS BIGINT)")} AS y FROM nation),
+       |j AS (SELECT q.qid, d.id,
+       |  (d.x - q.x)*(d.x - q.x) + (d.y - q.y)*(d.y - q.y) AS d2
+       |  FROM q CROSS JOIN d),
+       |r AS (SELECT qid, id, d2,
+       |  RANK() OVER (PARTITION BY qid ORDER BY d2) AS rk FROM j)
+       |SELECT qid, id, d2 FROM r WHERE rk <= 1
+       |ORDER BY qid, id""".stripMargin
+
+  // ------------------------------------------------- J1: pairwise join
+
+  def intersectionJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def toRows(df: DataFrame) = df.select(
+      col("id"), col("min_x").as("minX"), col("min_y").as("minY"),
+      col("max_x").as("maxX"), col("max_y").as("maxY")).as[RectRow]
+    val l = toRows(rects(load(spark, dir, "orders"), "o_orderkey"))
+    val r = toRows(rects(load(spark, dir, "supplier"), "s_suppkey"))
+    SpatialOps.intersectionJoinTree(l, r, grid)
+      .toDF("lid", "rid")
+      .orderBy("lid", "rid")
+  }
+
+  val intersectionJoinSql: String =
+    s"""WITH l AS (${rectsSql("orders", "o_orderkey")}),
+       |r AS (${rectsSql("supplier", "s_suppkey")})
+       |SELECT l.id AS lid, r.id AS rid FROM l JOIN r
+       |ON l.min_x <= r.max_x AND l.max_x >= r.min_x
+       |AND l.min_y <= r.max_y AND l.max_y >= r.min_y
+       |ORDER BY lid, rid""".stripMargin
+
+  // -------------------------------------------- K2: distance-ordered scan
+
+  def distanceOrdered(spark: SparkSession, dir: String): DataFrame =
+    points(load(spark, dir, "customer"), "c_custkey")
+      .withColumn("d2", stDistanceSq(col("x"), col("y"), lit(0.0), lit(0.0)))
+      .orderBy(col("d2"), col("id"))
+      .limit(100)
+      .select("id", "d2")
+
+  val distanceOrderedSql: String =
+    s"""WITH p AS (${pointsSql("customer", "c_custkey")})
+       |SELECT id, (x - 0.0)*(x - 0.0) + (y - 0.0)*(y - 0.0) AS d2 FROM p
+       |ORDER BY d2, id LIMIT 100""".stripMargin
+
+  // ------------------------------------------------------ F6: membership
+
+  def containsQuery(spark: SparkSession, dir: String): DataFrame = {
+    val lp = points(load(spark, dir, "lineitem"), "l_partkey")
+      .select("x", "y").distinct()
+    val cp = points(load(spark, dir, "customer"), "c_custkey")
+      .select("x", "y")
+    lp.join(cp, Seq("x", "y"), "left_semi").orderBy("x", "y")
+  }
+
+  val containsQuerySql: String =
+    s"""WITH lp AS (SELECT DISTINCT x, y FROM (${pointsSql("lineitem", "l_partkey")})),
+       |cp AS (${pointsSql("customer", "c_custkey")})
+       |SELECT lp.x, lp.y FROM lp
+       |WHERE EXISTS (SELECT 1 FROM cp WHERE cp.x = lp.x AND cp.y = lp.y)
+       |ORDER BY x, y""".stripMargin
+
+  // ------------------------------------------------------ R1: remove one
+
+  /** Remove ONE element containing the point — the reference returns "any
+    * one" (rstar/src/rtree.rs:845-867); we pin the nondeterminism with the
+    * min-id total tiebreak (SURVEY §7.4).
+    */
+  def removeOne(spark: SparkSession, dir: String): DataFrame =
+    locateAllAtPoint(spark, dir).orderBy("id").limit(1)
+
+  val removeOneSql: String =
+    s"""WITH r AS (${rectsSql("orders", "o_orderkey")})
+       |SELECT * FROM r
+       |WHERE min_x <= ${PT._1} AND ${PT._1} <= max_x
+       |  AND min_y <= ${PT._2} AND ${PT._2} <= max_y
+       |ORDER BY id LIMIT 1""".stripMargin
+
+  // -------------------------------------------------- R4: drain remainder
+
+  /** The survivors of `drain_in_envelope_intersecting`: complement of F2. */
+  def drainRemainder(spark: SparkSession, dir: String): DataFrame =
+    rects(load(spark, dir, "orders"), "o_orderkey")
+      .where(!stIntersectsBox(
+        col("min_x"), col("min_y"), col("max_x"), col("max_y"),
+        lit(QB._1), lit(QB._2), lit(QB._3), lit(QB._4)))
+      .orderBy("id")
+
+  val drainRemainderSql: String =
+    s"""WITH r AS (${rectsSql("orders", "o_orderkey")})
+       |SELECT * FROM r
+       |WHERE NOT (min_x <= ${QB._3} AND max_x >= ${QB._1}
+       |  AND min_y <= ${QB._4} AND max_y >= ${QB._2})
+       |ORDER BY id""".stripMargin
+
+  // ------------------------------------------------ G5: envelope-of-group
+
+  def envelopeAgg(spark: SparkSession, dir: String): DataFrame =
+    points(load(spark, dir, "customer"), "c_custkey")
+      .join(load(spark, dir, "customer").select(
+        col("c_custkey").as("id"),
+        col("c_nationkey").cast("long").as("nation")), Seq("id"))
+      .groupBy("nation")
+      .agg(count(lit(1)).as("cnt"),
+        min("x").as("min_x"), min("y").as("min_y"),
+        max("x").as("max_x"), max("y").as("max_y"))
+      .orderBy("nation")
+
+  val envelopeAggSql: String =
+    s"""WITH p AS (SELECT c_custkey AS id, CAST(c_nationkey AS BIGINT) AS nation,
+       | ${pxSql("c_custkey")} AS x, ${pySql("c_custkey")} AS y FROM customer)
+       |SELECT nation, COUNT(*) AS cnt, MIN(x) AS min_x, MIN(y) AS min_y,
+       | MAX(x) AS max_x, MAX(y) AS max_y
+       |FROM p GROUP BY nation ORDER BY nation""".stripMargin
+}

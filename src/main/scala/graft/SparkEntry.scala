@@ -1,13 +1,52 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  * Every key in `queries` has a DuckDB-runnable ANSI-SQL twin in
+  * `oracleSql` built from the same arithmetic snippets (TpchGeo), so the
+  * driver's hash compare sees bit-identical values and column names.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+    * the distributed kNN join (grid + two-pass candidate probing).
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Queries.knnJoin(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cell_stats" -> (Queries.cellStats(_, _)),
+    "q_range_contained" -> (Queries.rangeContained(_, _)),
+    "q_range_intersecting" -> (Queries.rangeIntersecting(_, _)),
+    "q_locate_all_at_point" -> (Queries.locateAllAtPoint(_, _)),
+    "q_within_distance" -> (Queries.withinDistance(_, _)),
+    "q_knn_join" -> (Queries.knnJoin(_, _)),
+    "q_nn_ties" -> (Queries.nnTies(_, _)),
+    "q_intersection_join" -> (Queries.intersectionJoin(_, _)),
+    "q_distance_ordered" -> (Queries.distanceOrdered(_, _)),
+    "q_contains" -> (Queries.containsQuery(_, _)),
+    "q_remove_one" -> (Queries.removeOne(_, _)),
+    "q_drain_remainder" -> (Queries.drainRemainder(_, _)),
+    "q_envelope_agg" -> (Queries.envelopeAgg(_, _))
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q_cell_stats" -> Queries.cellStatsSql,
+    "q_range_contained" -> Queries.rangeContainedSql,
+    "q_range_intersecting" -> Queries.rangeIntersectingSql,
+    "q_locate_all_at_point" -> Queries.locateAllAtPointSql,
+    "q_within_distance" -> Queries.withinDistanceSql,
+    "q_knn_join" -> Queries.knnJoinSql,
+    "q_nn_ties" -> Queries.nnTiesSql,
+    "q_intersection_join" -> Queries.intersectionJoinSql,
+    "q_distance_ordered" -> Queries.distanceOrderedSql,
+    "q_contains" -> Queries.containsQuerySql,
+    "q_remove_one" -> Queries.removeOneSql,
+    "q_drain_remainder" -> Queries.drainRemainderSql,
+    "q_envelope_agg" -> Queries.envelopeAggSql
+  )
 }

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic derived geometry over the driver's TPC-H-ish tables
+  * (TESTDATA.md): numeric keys → coordinates via modular arithmetic that is
+  * expressible identically in Spark Columns and ANSI SQL (DuckDB oracle).
+  * Only IEEE-exact ops (+,-,*,/, %) in identical order on both sides, so
+  * result doubles are bit-identical — never pow/ln/trig, whose libm
+  * rounding may differ between engines (FIXTURES.md §4).
+  *
+  * The Scala column builders and the SQL snippet builders below are kept in
+  * lockstep; every SparkEntry oracle is generated from the same snippets.
+  */
+object TpchGeo {
+  val M1 = 2654435761L // Knuth multiplicative hash constants / large primes
+  val M2 = 2246822519L
+  val M3 = 1099511628211L
+  val M4 = 179424673L
+  val P = 1000003L
+  val PW = 997L
+
+  private def frac(key: Column, m: Long): Column =
+    (key * lit(m) % lit(P)) / lit(P.toDouble)
+  private def fracSql(key: String, m: Long): String =
+    s"(($key * $m % $P) / $P.0)"
+
+  /** Point coordinates for a key column (data side). */
+  def px(key: Column): Column = frac(key, M1) * lit(360.0) - lit(180.0)
+  def py(key: Column): Column = frac(key, M2) * lit(170.0) - lit(85.0)
+  def pxSql(key: String): String = s"(${fracSql(key, M1)} * 360.0 - 180.0)"
+  def pySql(key: String): String = s"(${fracSql(key, M2)} * 170.0 - 85.0)"
+
+  /** Query-point coordinates (different multipliers, independent layout). */
+  def qx(key: Column): Column = frac(key, M3) * lit(360.0) - lit(180.0)
+  def qy(key: Column): Column = frac(key, M4) * lit(170.0) - lit(85.0)
+  def qxSql(key: String): String = s"(${fracSql(key, M3)} * 360.0 - 180.0)"
+  def qySql(key: String): String = s"(${fracSql(key, M4)} * 170.0 - 85.0)"
+
+  /** Rectangle for a key column: lower corner + width/height in [0, 10). */
+  def rMinX(key: Column): Column = frac(key, M1) * lit(350.0) - lit(180.0)
+  def rMinY(key: Column): Column = frac(key, M2) * lit(160.0) - lit(85.0)
+  def rW(key: Column): Column =
+    (key * lit(M3) % lit(PW)) / lit(PW.toDouble) * lit(10.0)
+  def rH(key: Column): Column =
+    (key * lit(M4) % lit(PW)) / lit(PW.toDouble) * lit(10.0)
+  def rMinXSql(key: String): String = s"(${fracSql(key, M1)} * 350.0 - 180.0)"
+  def rMinYSql(key: String): String = s"(${fracSql(key, M2)} * 160.0 - 85.0)"
+  def rWSql(key: String): String = s"(($key * $M3 % $PW) / $PW.0 * 10.0)"
+  def rHSql(key: String): String = s"(($key * $M4 % $PW) / $PW.0 * 10.0)"
+
+  /** SQL CTE body producing (id, min_x, min_y, max_x, max_y) rects. */
+  def rectsSql(table: String, key: String): String =
+    s"""SELECT $key AS id, ${rMinXSql(key)} AS min_x, ${rMinYSql(key)} AS min_y,
+       | ${rMinXSql(key)} + ${rWSql(key)} AS max_x,
+       | ${rMinYSql(key)} + ${rHSql(key)} AS max_y FROM $table""".stripMargin
+
+  /** Spark twin of [[rectsSql]]. */
+  def rects(df: DataFrame, key: String): DataFrame =
+    df.select(
+      col(key).as("id"),
+      rMinX(col(key)).as("min_x"), rMinY(col(key)).as("min_y"),
+      (rMinX(col(key)) + rW(col(key))).as("max_x"),
+      (rMinY(col(key)) + rH(col(key))).as("max_y"))
+
+  def pointsSql(table: String, key: String): String =
+    s"SELECT $key AS id, ${pxSql(key)} AS x, ${pySql(key)} AS y FROM $table"
+
+  def points(df: DataFrame, key: String): DataFrame =
+    df.select(col(key).as("id"),
+      px(col(key)).as("x"), py(col(key)).as("y"))
+
+  def load(spark: SparkSession, dir: String, table: String): DataFrame =
+    spark.read.parquet(s"$dir/$table.parquet")
+}

@@ -1,0 +1,253 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.geom.AABB
+import graft.index.{CellGrid, Entry, LocalRTree}
+import graft.functions.SpatialFunctions._
+
+/** Row shapes for the distributed index: narrow (id + geometry) on purpose —
+  * payloads stay in their source tables and are joined back by id after the
+  * spatial work, so shuffles move only what the spatial operators need.
+  */
+final case class PointRow(id: Long, x: Double, y: Double)
+final case class RectRow(
+    id: Long, minX: Double, minY: Double, maxX: Double, maxY: Double)
+final case class QueryRow(qid: Long, x: Double, y: Double)
+final case class CellStats(
+    cell: Long, cnt: Long,
+    minX: Double, minY: Double, maxX: Double, maxY: Double)
+
+/** The distributed operators — each the Spark-first re-expression of a
+  * reference entry point (SURVEY.md §2), built as declarative DataFrame /
+  * typed Dataset plans so Catalyst handles pushdown, join selection, AQE
+  * skew splitting; per-partition `LocalRTree`s add the intra-partition
+  * pruning that rstar's tree levels provided.
+  *
+  * Scale notes (100 TB / 1000 executors):
+  *   - the only driver-side state is the per-cell histogram (bounded by
+  *     grid resolution, ≤ 4^res entries, collected from a groupBy — itself
+  *     a map-side-combined shuffle);
+  *   - joins are cell-equi-joins: Catalyst broadcasts the small side (query
+  *     sets, tile layers) or sort-merges co-partitioned big sides; AQE
+  *     splits hot cells (dense urban tiles) at runtime;
+  *   - multi-cell geometries are exploded per cell and de-duplicated with
+  *     the reference-point rule, so no global distinct is ever needed.
+  */
+object SpatialOps {
+
+  // ------------------------------------------------------------ J1: join
+
+  /** Pairwise intersection-candidates join, pure-DataFrame plan
+    * (`intersection_candidates_with_other_tree`, rstar/src/rtree.rs:522-534):
+    * explode both sides to covered cells, equi-join on cell, closed-interval
+    * AABB intersect predicate, reference-point dedup. Catalyst plans the
+    * equi-join (broadcast if a side is small; sort-merge + AQE skew split
+    * otherwise).
+    *
+    * Inputs need columns (id, minX, minY, maxX, maxY); points pass
+    * minX=maxX=x. Output: (lid, rid) candidate pairs, each exactly once.
+    */
+  def intersectionJoin(
+      left: DataFrame, right: DataFrame, grid: CellGrid): DataFrame = {
+    val l = left.select(
+      col("id").as("lid"),
+      col("minX").as("lminX"), col("minY").as("lminY"),
+      col("maxX").as("lmaxX"), col("maxY").as("lmaxY"),
+      explode(stCoverCells(grid)(
+        col("minX"), col("minY"), col("maxX"), col("maxY"))).as("cell"))
+    val r = right.select(
+      col("id").as("rid"),
+      col("minX").as("rminX"), col("minY").as("rminY"),
+      col("maxX").as("rmaxX"), col("maxY").as("rmaxY"),
+      explode(stCoverCells(grid)(
+        col("minX"), col("minY"), col("maxX"), col("maxY"))).as("cell"))
+    l.join(r, Seq("cell"))
+      .where(stIntersectsBox(
+        col("lminX"), col("lminY"), col("lmaxX"), col("lmaxY"),
+        col("rminX"), col("rminY"), col("rmaxX"), col("rmaxY")))
+      .where(stRefPointDedup(grid)(col("cell"),
+        col("lminX"), col("lminY"), col("rminX"), col("rminY")))
+      .select(col("lid"), col("rid"))
+  }
+
+  /** Same join through the two-level index: both sides shuffled once by
+    * cell (`cogroup` co-partitions them), then a per-cell `LocalRTree` is
+    * bulk-loaded on the smaller side and probed with the larger —
+    * index-nested-loop inside each partition, the distributed analog of the
+    * reference's synchronized dual-tree descent
+    * (rstar/src/algorithm/intersection_iterator.rs:15-104).
+    */
+  def intersectionJoinTree(
+      left: Dataset[RectRow], right: Dataset[RectRow],
+      grid: CellGrid): Dataset[(Long, Long)] = {
+    val spark = left.sparkSession
+    import spark.implicits._
+    val l = left.flatMap { r =>
+      grid.cover(AABB.of2d(r.minX, r.minY, r.maxX, r.maxY)).map(c => (c, r))
+    }
+    val r = right.flatMap { t =>
+      grid.cover(AABB.of2d(t.minX, t.minY, t.maxX, t.maxY)).map(c => (c, t))
+    }
+    l.groupByKey(_._1).cogroup(r.groupByKey(_._1)) { (cell, ls, rs) =>
+      val la = ls.map(_._2).toArray
+      val ra = rs.map(_._2).toArray
+      if (la.isEmpty || ra.isEmpty) Iterator.empty
+      else {
+        def box(t: RectRow) = AABB.of2d(t.minX, t.minY, t.maxX, t.maxY)
+        def emit(a: RectRow, b: RectRow): Boolean =
+          grid.cellId(math.max(a.minX, b.minX), math.max(a.minY, b.minY)) == cell
+        // Index the smaller side, probe with the larger (fewer tree builds).
+        if (la.length <= ra.length) {
+          val tree = new LocalRTree[RectRow](2, 40, 1)
+            .bulkLoad(la.map(t => Entry(box(t), t)))
+          ra.iterator.flatMap { b =>
+            tree.queryIntersecting(box(b))
+              .filter(a => emit(a.value, b))
+              .map(a => (a.value.id, b.id))
+          }
+        } else {
+          val tree = new LocalRTree[RectRow](2, 40, 1)
+            .bulkLoad(ra.map(t => Entry(box(t), t)))
+          la.iterator.flatMap { a =>
+            tree.queryIntersecting(box(a))
+              .filter(b => emit(a, b.value))
+              .map(b => (a.id, b.value.id))
+          }
+        }
+      }
+    }
+  }
+
+  // ------------------------------------------------------------ kNN join
+
+  /** Distributed kNN join (batch form of `nearest_neighbor` /
+    * `nearest_neighbor_iter`, rstar/src/rtree.rs:940-943, :1094-1099), in
+    * two provably-complete passes over the cell grid (SURVEY.md §3.3):
+    *
+    *   Pass A (candidate bound): each query ring-expands over the broadcast
+    *   per-cell histogram until the visited cells hold ≥ k points, probes
+    *   just those cells, and takes the k-th smallest candidate distance d_up
+    *   — an upper bound on the true k-th NN distance.
+    *
+    *   Pass B (exact): re-probe every cell intersecting the disc of radius
+    *   sqrt(d_up) around the query; the window top-k over those candidates
+    *   is exact, because no point outside the disc can beat the k-th
+    *   candidate already in hand.
+    *
+    * Both probes are cell equi-joins (query-cells side is small → Catalyst
+    * broadcasts it; the data side never moves). Result: (qid, id, d2, rn),
+    * rn ∈ [1, k], ordered by (d2, id) — the deterministic total tiebreak
+    * SURVEY §7.4 requires for oracle agreement. `keepTies` switches the
+    * window to `rank()`, reproducing the co-equal tie-set semantics of
+    * `nearest_neighbors` (K3, rstar/src/rtree.rs:977-1043).
+    */
+  def knnJoin(
+      queries: Dataset[QueryRow], data: Dataset[PointRow], k: Int,
+      grid: CellGrid, keepTies: Boolean = false): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+
+    val dataCelled = data
+      .withColumn("cell", stCell(grid)(col("x"), col("y")))
+    // Per-cell histogram: map-side-combined groupBy; bounded by 4^res cells.
+    val hist: Map[Long, Long] = dataCelled
+      .groupBy("cell").count()
+      .as[(Long, Long)].collect().toMap
+    val histB = spark.sparkContext.broadcast(hist)
+
+    // Pass A: ring expansion per query until ≥ k candidates are guaranteed.
+    val candA = queries.flatMap { q =>
+      val h = histB.value
+      val cx = grid.ix(q.x); val cy = grid.iy(q.y)
+      var cum = 0L
+      var ring = 0
+      val cells = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val maxRing = grid.cellsPerAxis
+      while (cum < k && ring <= maxRing) {
+        grid.ring(cx, cy, ring).foreach { c =>
+          val n = h.getOrElse(c, 0L)
+          if (n > 0) { cells += c; cum += n }
+        }
+        ring += 1
+      }
+      cells.map(c => (q.qid, q.x, q.y, c))
+    }.toDF("qid", "qx", "qy", "cell")
+
+    val wAsc = Window.partitionBy("qid").orderBy(col("d2"), col("id"))
+    val dUp = candA
+      .join(dataCelled, Seq("cell"))
+      .withColumn("d2", stDistanceSq(col("x"), col("y"), col("qx"), col("qy")))
+      .withColumn("rn", row_number().over(wAsc))
+      .where(col("rn") <= k)
+      .groupBy("qid").agg(max("d2").as("dUp"),
+        first("qx").as("qx"), first("qy").as("qy"))
+
+    // Pass B: cover the disc of radius sqrt(dUp); window top-k is exact.
+    val candB = dUp.select(col("qid"), col("qx"), col("qy"),
+      explode(stCoverCells(grid)(
+        col("qx") - sqrt(col("dUp")), col("qy") - sqrt(col("dUp")),
+        col("qx") + sqrt(col("dUp")), col("qy") + sqrt(col("dUp"))))
+        .as("cell"))
+
+    val ranked = candB
+      .join(dataCelled, Seq("cell"))
+      .withColumn("d2", stDistanceSq(col("x"), col("y"), col("qx"), col("qy")))
+      .withColumn("rn",
+        if (keepTies) rank().over(Window.partitionBy("qid").orderBy(col("d2")))
+        else row_number().over(wAsc))
+      .where(col("rn") <= k)
+      .select(col("qid"), col("id"), col("d2"), col("rn"))
+    ranked
+  }
+
+  // --------------------------------------------------- selections as scans
+
+  /** F1 `locate_in_envelope`: full containment — a pure conjunctive range
+    * predicate; Catalyst pushes it to the Parquet scan (min/max row-group
+    * skipping = the reference's envelope pruning for free).
+    */
+  def rangeContained(df: DataFrame, q: AABB): DataFrame =
+    df.where(stContainsBox(
+      lit(q.lower(0)), lit(q.lower(1)), lit(q.upper(0)), lit(q.upper(1)),
+      col("minX"), col("minY"), col("maxX"), col("maxY")))
+
+  /** F2 `locate_in_envelope_intersecting`: closed-interval overlap. */
+  def rangeIntersecting(df: DataFrame, q: AABB): DataFrame =
+    df.where(stIntersectsBox(
+      col("minX"), col("minY"), col("maxX"), col("maxY"),
+      lit(q.lower(0)), lit(q.lower(1)), lit(q.upper(0)), lit(q.upper(1))))
+
+  /** F3 `locate_all_at_point` over a rectangle layer. */
+  def locateAllAtPoint(df: DataFrame, px: Double, py: Double): DataFrame =
+    df.where(stContainsPoint(
+      col("minX"), col("minY"), col("maxX"), col("maxY"),
+      lit(px), lit(py)))
+
+  /** F4 `locate_within_distance` over a point table. */
+  def withinDistance(df: DataFrame, px: Double, py: Double, r2: Double): DataFrame =
+    df.withColumn("d2",
+      stDistanceSq(col("x"), col("y"), lit(px), lit(py)))
+      .where(col("d2") <= r2)
+
+  // ----------------------------------------------------- build / stats C2
+
+  /** Stage 1 of the distributed bulk load (C2): cell assignment + per-cell
+    * statistics (count + envelope-of-group, the G5 aggregate). This is the
+    * driver-grid build; per-partition trees are built lazily inside the
+    * operators that need them (`mapPartitions` over repartitioned cells).
+    */
+  def cellStats(points: Dataset[PointRow], grid: CellGrid): Dataset[CellStats] = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    points
+      .withColumn("cell", stCell(grid)(col("x"), col("y")))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("cnt"),
+        min("x").as("minX"), min("y").as("minY"),
+        max("x").as("maxX"), max("y").as("maxY"))
+      .as[CellStats]
+  }
+}

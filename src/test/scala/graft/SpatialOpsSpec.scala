@@ -1,0 +1,222 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.engine._
+import graft.geom.AABB
+import graft.index.CellGrid
+import graft.data.PagesGen
+
+/** Distributed-operator golden tests: every engine op is compared against a
+  * brute-force DataFrame oracle (crossJoin + filter / window), reproducing
+  * the reference's brute-force-equivalence pattern
+  * (rstar/src/algorithm/intersection_iterator.rs:112-134,
+  * nearest_neighbor.rs:336-354) at the cluster tier.
+  */
+class SpatialOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def sc = { spark.sparkContext.setLogLevel("ERROR"); spark }
+
+  import PagesGen.uniform
+
+  private val grid = CellGrid.lonLat(4)
+
+  private def rects(n: Int, seed: Int) = {
+    val s = sc
+    import s.implicits._
+    s.range(n).map { id =>
+      val x = uniform(id + seed, 1) * 360.0 - 180.0
+      val y = uniform(id + seed, 2) * 170.0 - 85.0
+      RectRow(id, x, y,
+        math.min(x + uniform(id + seed, 3) * 5.0, 180.0),
+        math.min(y + uniform(id + seed, 4) * 5.0, 85.0))
+    }
+  }
+
+  private def points(n: Int, seed: Int) = {
+    val s = sc
+    import s.implicits._
+    s.range(n).map { id =>
+      PointRow(id,
+        uniform(id + seed, 1) * 360.0 - 180.0,
+        uniform(id + seed, 2) * 170.0 - 85.0)
+    }
+  }
+
+  test("intersectionJoin (DataFrame plan) == brute-force crossJoin; " +
+    "each pair exactly once despite multi-cell explode") {
+    val l = rects(400, 1000).toDF()
+    val r = rects(300, 2000).toDF()
+    val got = SpatialOps.intersectionJoin(l, r, grid)
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    val want = l.as("a").crossJoin(r.as("b"))
+      .where(col("a.minX") <= col("b.maxX") && col("a.maxX") >= col("b.minX") &&
+        col("a.minY") <= col("b.maxY") && col("a.maxY") >= col("b.minY"))
+      .select(col("a.id"), col("b.id"))
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    assert(got.length == got.toSet.size, "duplicate pairs emitted")
+    assert(got.toSet == want.toSet)
+    assert(want.nonEmpty)
+  }
+
+  test("intersectionJoinTree (cogrouped per-cell R-trees) == DataFrame plan") {
+    val s = sc
+    val l = rects(400, 1000)
+    val r = rects(300, 2000)
+    val got = SpatialOps.intersectionJoinTree(l, r, grid).collect().toSet
+    val want = SpatialOps.intersectionJoin(l.toDF(), r.toDF(), grid)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(got == want)
+  }
+
+  test("self-join of a point layer yields exactly n pairs " +
+    "(intersection_iterator.rs:137-155)") {
+    val s = sc
+    import s.implicits._
+    val p = points(500, 3000)
+      .select(col("id"), col("x").as("minX"), col("y").as("minY"),
+        col("x").as("maxX"), col("y").as("maxY"))
+    assert(SpatialOps.intersectionJoin(p, p, grid).count() == 500)
+  }
+
+  test("knnJoin == brute-force window top-k (every query, k=5)") {
+    val s = sc
+    import s.implicits._
+    val data = points(2000, 4000)
+    val queries = s.range(60).map(i =>
+      QueryRow(i, uniform(i + 99, 1) * 360.0 - 180.0,
+        uniform(i + 99, 2) * 170.0 - 85.0))
+    val got = SpatialOps.knnJoin(queries, data, 5, grid)
+      .select("qid", "id", "rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val brute = queries.toDF()
+      .select(col("qid"), col("x").as("qx"), col("y").as("qy"))
+      .crossJoin(data.toDF())
+      .withColumn("d2", (col("x") - col("qx")) * (col("x") - col("qx")) +
+        (col("y") - col("qy")) * (col("y") - col("qy")))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy(col("d2"), col("id"))))
+      .where(col("rn") <= 5)
+      .select("qid", "id", "rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == brute)
+    assert(got.size == 60 * 5)
+  }
+
+  test("knnJoin with k > |data| returns all data per query") {
+    val s = sc
+    import s.implicits._
+    val data = points(3, 5000)
+    val queries = s.range(4).map(i => QueryRow(i, 0.0, 0.0))
+    val got = SpatialOps.knnJoin(queries, data, 10, grid)
+    assert(got.count() == 4 * 3)
+  }
+
+  test("knnJoin keepTies uses rank() — co-equal distances all kept (K3)") {
+    val s = sc
+    import s.implicits._
+    // four points at exactly distance 1 from origin + two farther
+    val data = Seq(
+      PointRow(0, 1, 0), PointRow(1, -1, 0), PointRow(2, 0, 1),
+      PointRow(3, 0, -1), PointRow(4, 3, 3), PointRow(5, 2, 2)).toDS()
+    val queries = Seq(QueryRow(0, 0, 0)).toDS()
+    val ties = SpatialOps.knnJoin(queries, data, 1, grid, keepTies = true)
+    assert(ties.select("id").collect().map(_.getLong(0)).toSet == Set(0L, 1L, 2L, 3L))
+  }
+
+  test("range selections match filtered scans (F1/F2/F3/F4)") {
+    val s = sc
+    val r = rects(500, 6000).toDF().cache()
+    val q = AABB.of2d(-30, -20, 40, 35)
+    val contained = SpatialOps.rangeContained(r, q).collect().map(_.getLong(0)).toSet
+    val intersecting = SpatialOps.rangeIntersecting(r, q).collect().map(_.getLong(0)).toSet
+    val all = r.collect().map(x =>
+      (x.getLong(0), AABB.of2d(x.getDouble(1), x.getDouble(2), x.getDouble(3), x.getDouble(4))))
+    assert(contained == all.collect { case (i, b) if q.containsEnvelope(b) => i }.toSet)
+    assert(intersecting == all.collect { case (i, b) if q.intersects(b) => i }.toSet)
+    assert(contained.subsetOf(intersecting))
+    val atPt = SpatialOps.locateAllAtPoint(r, 10.0, 10.0).collect().map(_.getLong(0)).toSet
+    assert(atPt == all.collect { case (i, b) if b.containsPoint(Array(10.0, 10.0)) => i }.toSet)
+    val p = points(500, 7000).toDF()
+    val wd = SpatialOps.withinDistance(p, 0.0, 0.0, 900.0).collect().map(_.getLong(0)).toSet
+    val pall = p.collect().map(x => (x.getLong(0), x.getDouble(1), x.getDouble(2)))
+    assert(wd == pall.collect {
+      case (i, x, y) if x * x + y * y <= 900.0 => i }.toSet)
+  }
+
+  test("cellStats: counts sum to row count; envelopes inside cell boxes") {
+    val s = sc
+    import s.implicits._
+    val p = points(2000, 8000)
+    val st = SpatialOps.cellStats(p, grid).collect()
+    assert(st.map(_.cnt).sum == 2000)
+    st.foreach { c =>
+      val box = grid.cellBox(c.cell)
+      // envelope of points assigned to the cell must sit inside the cell box
+      assert(box.lower(0) <= c.minX + 1e-9 && box.upper(0) >= c.maxX - 1e-9)
+      assert(box.lower(1) <= c.minY + 1e-9 && box.upper(1) >= c.maxY - 1e-9)
+    }
+  }
+
+  test("pages: text byte-identical per url end-to-end (north-rule invariant)") {
+    val s = sc
+    import s.implicits._
+    val pages = PagesGen.pages(s, 2000, skewShare = 0.3).cache()
+    // regenerate text from the id encoded in the url — must match exactly
+    val mismatches = pages.map { p =>
+      val regen = PagesGen.textFor(PagesGen.idFromUrl(p.url), 0.3)
+      if (regen == p.text) 0L else 1L
+    }.reduce(_ + _)
+    assert(mismatches == 0)
+    // the html payload round-trips the exact text bytes
+    val htmlMismatch = pages.map { p =>
+      val s2 = new String(p.html, java.nio.charset.StandardCharsets.UTF_8)
+      if (s2 == "<html><body>" + p.text + "</body></html>") 0L else 1L
+    }.reduce(_ + _)
+    assert(htmlMismatch == 0)
+  }
+
+  test("pages: entity extraction parses every @geo marker, values in range") {
+    val s = sc
+    import s.implicits._
+    val pages = PagesGen.pages(s, 1000, skewShare = 0.3)
+    val ents = pages.toDF()
+      .withColumn("e", explode(PagesGen.entities(col("text"))))
+      .select(col("e.lon"), col("e.lat"))
+    val n = ents.count()
+    val expected = pages.map(p =>
+      "@geo\\(".r.findAllIn(p.text).length.toLong).reduce(_ + _)
+    assert(n == expected)
+    assert(n > 0)
+    val bad = ents.where(col("lon") < -180 || col("lon") > 180 ||
+      col("lat") < -85.5 || col("lat") > 85.5).count()
+    assert(bad == 0)
+  }
+
+  test("skewed pages concentrate entities in hot cells (skew fixture sanity)") {
+    val s = sc
+    import s.implicits._
+    val pages = PagesGen.pages(s, 5000, skewShare = 0.5)
+    val cells = pages.toDF()
+      .withColumn("e", explode(PagesGen.entities(col("text"))))
+      .select(graft.functions.SpatialFunctions.stCell(grid)(
+        col("e.lon"), col("e.lat")).as("cell"))
+      .groupBy("cell").count().orderBy(desc("count"))
+      .collect().map(_.getLong(1))
+    // top-5 hot cells should hold a large multiple of the uniform share
+    val total = cells.sum.toDouble
+    assert(cells.take(5).sum / total > 0.2,
+      s"expected hot cells, got top5=${cells.take(5).mkString(",")} of $total")
+  }
+}
