@@ -28,7 +28,20 @@ object SparkEntry {
     "q_contains" -> (Queries.containsQuery(_, _)),
     "q_remove_one" -> (Queries.removeOne(_, _)),
     "q_drain_remainder" -> (Queries.drainRemainder(_, _)),
-    "q_envelope_agg" -> (Queries.envelopeAgg(_, _))
+    "q_envelope_agg" -> (Queries.envelopeAgg(_, _)),
+    // training-data pipeline operators
+    "q_dedup_exact" -> (PipelineQueries.dedupExact(_, _)),
+    "q_ngram_dup" -> (PipelineQueries.ngramDup(_, _)),
+    "q_minhash_dup" -> (PipelineQueries.minhashDup(_, _)),
+    "q_simhash" -> (PipelineQueries.simhash(_, _)),
+    "q_token_stats" -> (PipelineQueries.tokenStats(_, _)),
+    "q_text_quality" -> (PipelineQueries.textQuality(_, _)),
+    "q_lang_id" -> (PipelineQueries.langId(_, _)),
+    "q_ann_topk" -> (PipelineQueries.annTopK(_, _)),
+    "q_ann_cosine" -> (PipelineQueries.annCosine(_, _)),
+    "q_ann_lsh" -> (PipelineQueries.annLsh(_, _)),
+    "q_events_window" -> (PipelineQueries.eventsWindow(_, _)),
+    "q_media_meta" -> (PipelineQueries.mediaMeta(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -47,6 +60,14 @@ object SparkEntry {
     "q_contains" -> Queries.containsQuerySql,
     "q_remove_one" -> Queries.removeOneSql,
     "q_drain_remainder" -> Queries.drainRemainderSql,
-    "q_envelope_agg" -> Queries.envelopeAggSql
+    "q_envelope_agg" -> Queries.envelopeAggSql,
+    // pipeline oracles (hash-based scale paths have no SQL twin → rows-only)
+    "q_dedup_exact" -> PipelineQueries.dedupExactSql,
+    "q_ngram_dup" -> PipelineQueries.ngramDupSql,
+    "q_token_stats" -> PipelineQueries.tokenStatsSql,
+    "q_text_quality" -> PipelineQueries.textQualitySql,
+    "q_ann_topk" -> PipelineQueries.annTopKSql,
+    "q_events_window" -> PipelineQueries.eventsWindowSql,
+    "q_media_meta" -> PipelineQueries.mediaMetaSql
   )
 }

@@ -131,13 +131,13 @@ object PagesGen {
   /** Rectangle layer for the pairwise spatial join (J1) / PIP (F3);
     * `Rectangle` semantics per rstar/src/primitives/rectangle.rs:17-22.
     */
-  def tiles(spark: SparkSession, n: Long): Dataset[Tile] = {
+  def tiles(spark: SparkSession, n: Long, maxW: Double = 2.0): Dataset[Tile] = {
     import spark.implicits._
     spark.range(n).map { id =>
       val lon = uniform(id + 7, 1) * 360.0 - 180.0
       val lat = uniform(id + 7, 2) * 170.0 - 85.0
-      val w = uniform(id + 7, 3) * 2.0 + 0.05
-      val h = uniform(id + 7, 4) * 2.0 + 0.05
+      val w = uniform(id + 7, 3) * maxW + 0.05
+      val h = uniform(id + 7, 4) * maxW + 0.05
       Tile(id, lon, lat, math.min(lon + w, 180.0), math.min(lat + h, 85.0),
         s"tile-$id")
     }

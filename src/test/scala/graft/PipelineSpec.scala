@@ -1,0 +1,138 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{MediaOps, PipelineOps}
+
+/** Pipeline-operator tests on the driver's sf0.001 tables: hash-based scale
+  * paths (MinHash-LSH, SimHash, vector LSH) are validated against their
+  * exact counterparts; the multimodal stub plumbing is exercised through
+  * the typed mapPartitions path.
+  */
+class PipelineSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-pipeline-test")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def docs = {
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+  }
+  private def emb = {
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+  }
+
+  test("exact dedup groups partition the table; keepers are min ids") {
+    val g = PipelineOps.exactDupGroups(docs).collect()
+    assert(g.map(_.getLong(2)).sum == docs.count())
+    assert(g.forall(_.getLong(2) >= 1))
+  }
+
+  test("minhash-LSH pairs are a subset of exact n-gram Jaccard pairs, " +
+    "with high recall on strong (J≥0.9) duplicates") {
+    val exact = PipelineOps.ngramJaccardPairs(docs, 3, 0.7)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val lsh = PipelineOps.minhashLshPairs(docs, 3, 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact.keySet),
+      s"LSH emitted non-duplicates: ${lsh -- exact.keySet}")
+    val strong = exact.filter(_._2 >= 0.9).keySet
+    if (strong.nonEmpty) {
+      val recall = strong.count(lsh.contains).toDouble / strong.size
+      assert(recall >= 0.9, s"LSH recall on J≥0.9 pairs: $recall")
+    }
+    assert(exact.nonEmpty, "fixture should contain planted near-duplicates")
+  }
+
+  test("simhash: exact near-duplicates have small Hamming distance, " +
+    "random pairs do not") {
+    val fp = PipelineOps.simhash(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val dupPairs = PipelineOps.ngramJaccardPairs(docs, 3, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    if (dupPairs.nonEmpty) {
+      val dupHam = dupPairs.map { case (a, b) => ham(fp(a), fp(b)) }
+      assert(dupHam.sum.toDouble / dupHam.size <= 10.0,
+        s"near-dups should have small simhash distance: ${dupHam.toSeq}")
+    }
+    val ids = fp.keys.toArray.sorted
+    val randHam = (0 until 200).map { i =>
+      ham(fp(ids(i % ids.length)), fp(ids((i * 7 + 13) % ids.length)))
+    }.filter(_ > 0)
+    assert(randHam.sum.toDouble / randHam.size >= 15.0,
+      "random pairs should be far apart in simhash space")
+  }
+
+  test("token stats agree with a local recount") {
+    val got = PipelineOps.tokenStats(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    docs.select("doc_id", "text").collect().foreach { r =>
+      val (id, text) = (r.getLong(0), r.getString(1))
+      assert(got(id) == (text.length.toLong, text.split(' ').length.toLong))
+    }
+  }
+
+  test("langId is deterministic and total") {
+    val a = PipelineOps.langId(docs).collect().map(r => (r.getLong(0), r.getString(1)))
+    val b = PipelineOps.langId(docs).collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(a.toSeq == b.toSeq)
+    assert(a.length == docs.count())
+    assert(a.forall(x => PipelineOps.langProfiles.contains(x._2)))
+  }
+
+  test("annCosine and annTopKInt agree on the easy top-1 (self-match)") {
+    val cosTop1 = PipelineOps.annCosine(emb, 10, 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val intTop1 = PipelineOps.annTopKInt(emb, 10, 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // a vector's nearest neighbor under cosine is itself
+    (0L until 10L).foreach { q => assert(cosTop1(q) == q) }
+    assert(intTop1.keySet == cosTop1.keySet)
+  }
+
+  test("vector LSH buckets: identical vectors share buckets; bucket ids " +
+    "span multiple values (not degenerate)") {
+    val b = PipelineOps.annLshBuckets(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(b.length == emb.count())
+    assert(b.map(_._2).distinct.length > 4, "degenerate LSH bucketing")
+    // deterministic
+    val b2 = PipelineOps.annLshBuckets(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(b.toSeq == b2.toSeq)
+  }
+
+  test("media stub plumbing: binary columns through batched decode, " +
+    "frame sampling, resize — schema and determinism") {
+    import spark.implicits._
+    val media = MediaOps.fromDocuments(docs)
+    val meta = MediaOps.decode(media).cache()
+    assert(meta.count() == docs.count())
+    val m = meta.collect()
+    assert(m.forall(x => x.width >= 320 && x.width < 640))
+    assert(m.forall(x => x.height >= 240 && x.height < 480))
+    assert(m.forall(x => x.n_frames >= 1 && x.n_frames <= 24))
+    // payload byte length survives the decode
+    val lens = docs.select(col("doc_id"),
+      length(encode(col("text"), "UTF-8")).cast("long").as("b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    m.foreach(x => assert(x.bytes == lens(x.media_id)))
+    // frame sampling explodes distributed; stride halves the rows-ish
+    val frames = MediaOps.sampleFrames(meta, stride = 2)
+    val expected = m.map(x => (x.n_frames + 1) / 2).sum
+    assert(frames.count() == expected)
+    // resize clamps and preserves aspect monotonicity
+    val resized = MediaOps.resize(meta, maxW = 400).collect()
+    assert(resized.forall(_.width <= 400))
+    meta.unpersist()
+  }
+}
