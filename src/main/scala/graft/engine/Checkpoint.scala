@@ -1,0 +1,131 @@
+package graft.engine
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Checkpoint + lineage for long multi-stage jobs (north_rule: every stage
+  * writes per-partition lineage + row-count metrics so a killed job resumes
+  * at partition granularity).
+  *
+  * Iceberg is unavailable offline (SURVEY.md §4.5), so its role is emulated
+  * with primitives that are just as atomic on a real distributed FS:
+  *   - a stage's output is split into `nGroups` cell-hash groups, each
+  *     written to `<root>/<stage>/group=<g>/` via a tmp-dir + atomic-rename
+  *     commit (never a partially-visible group);
+  *   - completion markers `_done_<g>` form the manifest — a directory
+  *     listing, immune to torn writes;
+  *   - per-group lineage rows (stage, group, rows, envelope, wall_ms,
+  *     attempt) append to `<root>/_lineage/` parquet.
+  *
+  * Resume = rerun the same stage call: groups with markers are skipped and
+  * their parquet re-read; only missing groups recompute. Group granularity
+  * is the resume granularity — at 100 TB one group ≈ one cell-hash bucket
+  * of partitions, so a kill loses at most one group's work.
+  */
+final class Checkpoint(spark: SparkSession, root: String) {
+
+  private def stageDir(stage: String): Path = Paths.get(root, stage)
+  private def marker(stage: String, g: Int): Path =
+    stageDir(stage).resolve(s"_done_$g")
+
+  def completedGroups(stage: String): Set[Int] = {
+    val d = stageDir(stage)
+    if (!Files.exists(d)) Set.empty
+    else {
+      val it = Files.list(d).iterator()
+      val out = scala.collection.mutable.Set.empty[Int]
+      while (it.hasNext) {
+        val name = it.next().getFileName.toString
+        if (name.startsWith("_done_")) out += name.stripPrefix("_done_").toInt
+      }
+      out.toSet
+    }
+  }
+
+  /** Run (or resume) a stage: `compute(g)` must return group `g`'s slice —
+    * rows whose `pmod(hash-ish group key) == g`; the caller guarantees the
+    * slices partition the stage output. Returns the full stage output
+    * reading every group's committed parquet.
+    *
+    * The per-group envelope (min/max of `xCol`/`yCol`, when present) goes
+    * into the lineage row, mirroring the reference's parent-envelope
+    * bookkeeping (rstar/src/node.rs:98-102) at the stage tier.
+    */
+  def runStage(
+      stage: String, nGroups: Int,
+      compute: Int => DataFrame,
+      xCol: String = "", yCol: String = ""): DataFrame = {
+    Files.createDirectories(stageDir(stage))
+    val done = completedGroups(stage)
+    (0 until nGroups).foreach { g =>
+      if (!done.contains(g)) {
+        val t0 = System.nanoTime()
+        val df = compute(g)
+        val tmp = stageDir(stage).resolve(s".tmp_group_$g")
+        val fin = stageDir(stage).resolve(s"group=$g")
+        deleteRecursively(tmp)
+        df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+        deleteRecursively(fin)
+        Files.move(tmp, fin, StandardCopyOption.ATOMIC_MOVE)
+        val wallMs = (System.nanoTime() - t0) / 1000000L
+        writeLineage(stage, g, fin.toString, wallMs, xCol, yCol)
+        Files.createFile(marker(stage, g)) // commit point
+      }
+    }
+    spark.read.parquet(
+      (0 until nGroups).map(g => stageDir(stage).resolve(s"group=$g").toString): _*)
+  }
+
+  private def writeLineage(
+      stage: String, g: Int, dir: String, wallMs: Long,
+      xCol: String, yCol: String): Unit = {
+    val df = spark.read.parquet(dir)
+    val aggs =
+      if (xCol.nonEmpty && df.columns.contains(xCol))
+        Seq(count(lit(1)).as("rows"),
+          min(xCol).as("min_x"), min(yCol).as("min_y"),
+          max(xCol).as("max_x"), max(yCol).as("max_y"))
+      else
+        Seq(count(lit(1)).as("rows"),
+          lit(Double.NaN).as("min_x"), lit(Double.NaN).as("min_y"),
+          lit(Double.NaN).as("max_x"), lit(Double.NaN).as("max_y"))
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(lit(stage).as("stage"), lit(g).as("grp"), col("rows"),
+        col("min_x"), col("min_y"), col("max_x"), col("max_y"),
+        lit(wallMs).as("wall_ms"),
+        lit(java.time.Instant.now().toString).as("committed_at"))
+      .write.mode(SaveMode.Append).parquet(s"$root/_lineage")
+  }
+
+  def lineage(): DataFrame = spark.read.parquet(s"$root/_lineage")
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.delete(f))
+    }
+}
+
+object Checkpoint {
+
+  /** The checkpointed flagship build (C2 at scale): pages → extracted
+    * entities with cell ids, committed group-by-group so a killed build
+    * resumes where it stopped. Group key: cell id mod nGroups (cells stay
+    * whole within a group, so per-cell trees never straddle groups).
+    */
+  def buildEntityIndex(
+      spark: SparkSession, pages: DataFrame, grid: graft.index.CellGrid,
+      root: String, nGroups: Int = 8): DataFrame = {
+    import graft.functions.SpatialFunctions.stCell
+    val cp = new Checkpoint(spark, root)
+    val entities = pages
+      .withColumn("e", explode(graft.data.PagesGen.entities(col("text"))))
+      .select(col("url"),
+        col("e.lon").as("x"), col("e.lat").as("y"))
+      .withColumn("cell", stCell(grid)(col("x"), col("y")))
+    cp.runStage("entities", nGroups,
+      g => entities.where(pmod(col("cell"), lit(nGroups)) === g),
+      xCol = "x", yCol = "y")
+  }
+}

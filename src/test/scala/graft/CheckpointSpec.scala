@@ -1,0 +1,101 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.data.PagesGen
+import graft.engine.Checkpoint
+import graft.index.CellGrid
+
+/** Kill/resume semantics of the checkpoint layer: a stage that dies mid-run
+  * resumes at group granularity — completed groups are never recomputed,
+  * interrupted groups leave no partial output, lineage records every
+  * committed group (north_rule resumability).
+  */
+class CheckpointSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-checkpoint-test")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("killed build resumes at group granularity; output complete and lineage full") {
+    spark.sparkContext.setLogLevel("ERROR")
+    val root = java.nio.file.Files.createTempDirectory("graft_cp").toString
+    val grid = CellGrid.lonLat(4)
+    val pages = PagesGen.pages(spark, 2000, skewShare = 0.3).toDF().cache()
+    val nGroups = 6
+
+    // full, uninterrupted reference run in a separate root
+    val rootRef = java.nio.file.Files.createTempDirectory("graft_cp_ref").toString
+    val want = Checkpoint.buildEntityIndex(spark, pages, grid, rootRef, nGroups)
+      .select("url", "x", "y").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSet
+
+    // interrupted run: fail while computing group 3 (after 0..2 committed)
+    val cp = new Checkpoint(spark, root)
+    val computed = scala.collection.mutable.ArrayBuffer.empty[Int]
+    import graft.functions.SpatialFunctions.stCell
+    val entities = pages
+      .withColumn("e", explode(PagesGen.entities(col("text"))))
+      .select(col("url"), col("e.lon").as("x"), col("e.lat").as("y"))
+      .withColumn("cell", stCell(grid)(col("x"), col("y")))
+    def slice(g: Int) = entities.where(pmod(col("cell"), lit(nGroups)) === g)
+
+    intercept[RuntimeException] {
+      cp.runStage("entities", nGroups, { g =>
+        computed += g
+        if (g == 3) throw new RuntimeException("simulated kill")
+        slice(g)
+      }, xCol = "x", yCol = "y")
+    }
+    assert(cp.completedGroups("entities") == Set(0, 1, 2))
+    val firstRun = computed.toList
+
+    // resume: groups 0..2 must NOT recompute; 3..5 must
+    computed.clear()
+    val got = cp.runStage("entities", nGroups, { g =>
+      computed += g
+      slice(g)
+    }, xCol = "x", yCol = "y")
+    assert(computed.toList == List(3, 4, 5),
+      s"resume recomputed wrong groups: first=$firstRun resume=${computed.toList}")
+    assert(cp.completedGroups("entities") == (0 until nGroups).toSet)
+
+    val gotSet = got.select("url", "x", "y").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSet
+    assert(gotSet == want)
+
+    // lineage: one row per group, row counts sum to output size
+    val lin = cp.lineage().where(col("stage") === "entities")
+    assert(lin.count() == nGroups)
+    assert(lin.agg(sum("rows")).collect()(0).getLong(0) == want.size)
+    // per-group envelopes are real numbers within the grid domain
+    val env = lin.select("min_x", "max_x").collect()
+    env.foreach { r =>
+      assert(!r.getDouble(0).isNaN && r.getDouble(0) >= -180.0)
+      assert(r.getDouble(1) <= 180.0)
+    }
+    pages.unpersist()
+  }
+
+  test("rerunning a fully-committed stage recomputes nothing") {
+    spark.sparkContext.setLogLevel("ERROR")
+    val root = java.nio.file.Files.createTempDirectory("graft_cp2").toString
+    val cp = new Checkpoint(spark, root)
+    import spark.implicits._
+    val df = spark.range(100).select(col("id"), (col("id") % 4).as("g"))
+    var calls = 0
+    def run() = cp.runStage("s", 4, { g =>
+      calls += 1; df.where(col("g") === g)
+    })
+    assert(run().count() == 100)
+    assert(calls == 4)
+    assert(run().count() == 100)
+    assert(calls == 4, "fully-committed stage must be a pure read")
+  }
+}
