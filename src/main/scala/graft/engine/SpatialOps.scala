@@ -99,24 +99,27 @@ object SpatialOps {
         def box(t: RectRow) = AABB.of2d(t.minX, t.minY, t.maxX, t.maxY)
         def emit(a: RectRow, b: RectRow): Boolean =
           grid.cellId(math.max(a.minX, b.minX), math.max(a.minY, b.minY)) == cell
-        // Index the smaller side, probe with the larger (fewer tree builds).
+        // Index the smaller side, probe with the larger (fewer tree builds);
+        // push-based probe (foreachIntersecting) — no per-probe allocation.
+        val out = Vector.newBuilder[(Long, Long)]
         if (la.length <= ra.length) {
           val tree = new LocalRTree[RectRow](2, 40, 1)
             .bulkLoad(la.map(t => Entry(box(t), t)))
-          ra.iterator.flatMap { b =>
-            tree.queryIntersecting(box(b))
-              .filter(a => emit(a.value, b))
-              .map(a => (a.value.id, b.id))
+          ra.foreach { b =>
+            tree.foreachIntersecting(box(b)) { a =>
+              if (emit(a.value, b)) out += ((a.value.id, b.id))
+            }
           }
         } else {
           val tree = new LocalRTree[RectRow](2, 40, 1)
             .bulkLoad(ra.map(t => Entry(box(t), t)))
-          la.iterator.flatMap { a =>
-            tree.queryIntersecting(box(a))
-              .filter(b => emit(a, b.value))
-              .map(b => (a.id, b.value.id))
+          la.foreach { a =>
+            tree.foreachIntersecting(box(a)) { b =>
+              if (emit(a, b.value)) out += ((a.id, b.value.id))
+            }
           }
         }
+        out.result().iterator
       }
     }
   }

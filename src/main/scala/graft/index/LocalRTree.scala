@@ -433,6 +433,26 @@ final class LocalRTree[T](
   /** Unordered scan of all elements (`iter`, rstar/src/rtree.rs:313-329). */
   def iterator: Iterator[Entry[T]] = select(_ => true, _ => true)
 
+  /** Internal-iteration (push-based) variant of `queryIntersecting` for hot
+    * probe loops — the reference's `_int` style
+    * (rstar/src/algorithm/iterators.rs:98-145, motivation rtree.rs:98-108):
+    * plain recursion, no iterator or stack allocation per probe.
+    */
+  def foreachIntersecting(q: AABB)(f: Entry[T] => Unit): Unit = {
+    def walk(n: Inner[T]): Unit = {
+      val kids = n.children
+      var i = 0
+      while (i < kids.length) {
+        kids(i) match {
+          case e: Entry[T @unchecked] => if (q.intersects(e.env)) f(e)
+          case in: Inner[T @unchecked] => if (q.intersects(in.env)) walk(in)
+        }
+        i += 1
+      }
+    }
+    if (cnt > 0 && q.intersects(root.env)) walk(root)
+  }
+
   /** Membership test (`contains`, rstar/src/rtree.rs:870-892). */
   def containsEntry(e: Entry[T]): Boolean =
     select(env => env.containsEnvelope(e.env), _ == e).hasNext
@@ -449,8 +469,7 @@ final class LocalRTree[T](
       dist: Entry[T] => Double = null): Option[(Entry[T], Double)] = {
     if (cnt == 0) return None
     val d = if (dist == null) (e: Entry[T]) => e.env.distance2(p) else dist
-    val heap = new mutable.PriorityQueue[(Double, Node[T])]()(
-      Ordering.by[(Double, Node[T]), Double](_._1).reverse)
+    val heap = new DistHeap[Node[T]](32)
     var smallestMinMax = Double.MaxValue
     def pushChildren(inner: Inner[T]): Unit = {
       val kids = inner.children
@@ -459,12 +478,12 @@ final class LocalRTree[T](
         kids(i) match {
           case e: Entry[T @unchecked] =>
             val dd = e.env.distance2(p)
-            if (dd <= smallestMinMax) heap.enqueue((dd, e))
+            if (dd <= smallestMinMax) heap.enqueue(dd, e)
           case in: Inner[T @unchecked] =>
             val lb = in.env.distance2(p)
             if (lb <= smallestMinMax) {
               smallestMinMax = math.min(smallestMinMax, in.env.minMaxDist2(p))
-              heap.enqueue((lb, in))
+              heap.enqueue(lb, in)
             }
         }
         i += 1
@@ -472,13 +491,14 @@ final class LocalRTree[T](
     }
     pushChildren(root)
     while (heap.nonEmpty) {
-      val (dd, node) = heap.dequeue()
+      val dd = heap.headKey
+      val node = heap.dequeue()
       node match {
         case e: Entry[T @unchecked] =>
           val exact = d(e)
-          if (exact <= dd || heap.isEmpty || exact <= heap.head._1)
+          if (exact <= dd || heap.isEmpty || exact <= heap.headKey)
             return Some((e, exact))
-          else heap.enqueue((exact, e))
+          else heap.enqueue(exact, e)
         case in: Inner[T @unchecked] => pushChildren(in)
       }
     }
@@ -497,20 +517,18 @@ final class LocalRTree[T](
       dist: Entry[T] => Double = null): Iterator[(Entry[T], Double)] = {
     val d = if (dist == null) (e: Entry[T]) => e.env.distance2(p) else dist
     new Iterator[(Entry[T], Double)] {
-      private val heap = new mutable.PriorityQueue[(Double, Node[T])]()(
-        Ordering.by[(Double, Node[T]), Double](_._1).reverse)
-      if (cnt > 0) heap.enqueue((root.env.distance2(p), root))
+      private val heap = new DistHeap[Node[T]](32)
+      if (cnt > 0) heap.enqueue(root.env.distance2(p), root)
 
       private def settle(): Unit = {
-        while (heap.nonEmpty && !heap.head._2.isInstanceOf[Entry[_]]) {
-          val (_, node) = heap.dequeue()
-          val kids = node.asInstanceOf[Inner[T]].children
+        while (heap.nonEmpty && !heap.headVal.isInstanceOf[Entry[_]]) {
+          val kids = heap.dequeue().asInstanceOf[Inner[T]].children
           var i = 0
           while (i < kids.length) {
             kids(i) match {
-              case e: Entry[T @unchecked] => heap.enqueue((d(e), e))
+              case e: Entry[T @unchecked] => heap.enqueue(d(e), e)
               case in: Inner[T @unchecked] =>
-                heap.enqueue((in.env.distance2(p), in))
+                heap.enqueue(in.env.distance2(p), in)
             }
             i += 1
           }
@@ -519,7 +537,8 @@ final class LocalRTree[T](
       def hasNext: Boolean = { settle(); heap.nonEmpty }
       def next(): (Entry[T], Double) = {
         settle()
-        val (dd, e) = heap.dequeue()
+        val dd = heap.headKey
+        val e = heap.dequeue()
         (e.asInstanceOf[Entry[T]], dd)
       }
     }
@@ -709,6 +728,64 @@ object LocalRTree {
         n.env = e
       }
       n
+    }
+  }
+
+  /** Primitive-keyed binary min-heap (double key + object payload): the
+    * allocation-free analog of the reference's stack-first `SmallHeap`
+    * (rstar/src/algorithm/nearest_neighbor.rs:160-230); boxed-tuple
+    * PriorityQueue was the dominant cost of the NN hot loop.
+    */
+  private[index] final class DistHeap[V <: AnyRef](initialCapacity: Int) {
+    private var keys = new Array[Double](initialCapacity)
+    private var vals = new Array[AnyRef](initialCapacity)
+    private var n = 0
+
+    def isEmpty: Boolean = n == 0
+    def nonEmpty: Boolean = n > 0
+    def headKey: Double = keys(0)
+    def headVal: V = vals(0).asInstanceOf[V]
+
+    def enqueue(k: Double, v: V): Unit = {
+      if (n == keys.length) {
+        keys = java.util.Arrays.copyOf(keys, n * 2)
+        vals = java.util.Arrays.copyOf(vals, n * 2)
+      }
+      var i = n
+      n += 1
+      while (i > 0) {
+        val parent = (i - 1) >> 1
+        if (keys(parent) <= k) {
+          keys(i) = k; vals(i) = v
+          return
+        }
+        keys(i) = keys(parent); vals(i) = vals(parent)
+        i = parent
+      }
+      keys(0) = k; vals(0) = v
+    }
+
+    def dequeue(): V = {
+      val top = vals(0).asInstanceOf[V]
+      n -= 1
+      if (n > 0) {
+        val k = keys(n); val v = vals(n)
+        var i = 0
+        var child = 1
+        while (child < n) {
+          if (child + 1 < n && keys(child + 1) < keys(child)) child += 1
+          if (keys(child) >= k) {
+            child = n // done
+          } else {
+            keys(i) = keys(child); vals(i) = vals(child)
+            i = child
+            child = 2 * i + 1
+          }
+        }
+        keys(i) = k; vals(i) = v
+      }
+      vals(n) = null
+      top
     }
   }
 
