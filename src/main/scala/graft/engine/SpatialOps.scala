@@ -20,6 +20,13 @@ final case class CellStats(
     cell: Long, cnt: Long,
     minX: Double, minY: Double, maxX: Double, maxY: Double)
 
+/** Deterministic salt mixing (SplitMix64 finalizer) — object-local so the
+  * closure serializes only this, not a generator.
+  */
+private[engine] object PagesGenMix {
+  def mix(x: Long): Long = graft.data.PagesGen.splitmix64(x)
+}
+
 /** The distributed operators — each the Spark-first re-expression of a
   * reference entry point (SURVEY.md §2), built as declarative DataFrame /
   * typed Dataset plans so Catalyst handles pushdown, join selection, AQE
@@ -117,6 +124,68 @@ object SpatialOps {
             tree.foreachIntersecting(box(a)) { b =>
               if (emit(a, b.value)) out += ((a.id, b.value.id))
             }
+          }
+        }
+        out.result().iterator
+      }
+    }
+  }
+
+  /** Skew-aware variant of [[intersectionJoinTree]] (north_rule: hot dense
+    * urban cells must not serialize the join). A first histogram pass finds
+    * cells whose left-side occupancy exceeds `hotThreshold`; their rows are
+    * split across `ceil(cnt / hotThreshold)` salts (deterministic from the
+    * row id), and the probe side is replicated to every salt of that cell —
+    * the classic salted-join rewrite, applied per cell. Cold cells pay
+    * nothing (salt factor 1). AQE's skew-join splitting remains on as the
+    * runtime backstop for residual imbalance.
+    *
+    * Results are identical to the unsalted join: salting only refines the
+    * co-partitioning key (cell, salt); the reference-point dedup still runs
+    * on the cell alone.
+    */
+  def intersectionJoinTreeSalted(
+      left: Dataset[RectRow], right: Dataset[RectRow],
+      grid: CellGrid, hotThreshold: Int): Dataset[(Long, Long)] = {
+    val spark = left.sparkSession
+    import spark.implicits._
+    val lCelled = left.flatMap { r =>
+      grid.cover(AABB.of2d(r.minX, r.minY, r.maxX, r.maxY)).map(c => (c, r))
+    }
+    val salts: Map[Long, Int] = lCelled
+      .groupByKey(_._1).count()
+      .filter(_._2 > hotThreshold)
+      .collect()
+      .map { case (c, n) => c -> math.min(256, ((n + hotThreshold - 1) / hotThreshold).toInt) }
+      .toMap
+    val saltsB = spark.sparkContext.broadcast(salts)
+    def key(cell: Long, salt: Int): Long = (cell << 8) | salt.toLong
+
+    val l = lCelled.map { case (c, r) =>
+      val s = saltsB.value.getOrElse(c, 1)
+      (key(c, (java.lang.Long.hashCode(PagesGenMix.mix(r.id)) % s + s) % s), r)
+    }
+    val r = right.flatMap { t =>
+      grid.cover(AABB.of2d(t.minX, t.minY, t.maxX, t.maxY)).flatMap { c =>
+        val s = saltsB.value.getOrElse(c, 1)
+        (0 until s).map(salt => (key(c, salt), t))
+      }
+    }
+    l.groupByKey(_._1).cogroup(r.groupByKey(_._1)) { (k, ls, rs) =>
+      val cell = k >> 8
+      val la = ls.map(_._2).toArray
+      val ra = rs.map(_._2).toArray
+      if (la.isEmpty || ra.isEmpty) Iterator.empty
+      else {
+        def box(t: RectRow) = AABB.of2d(t.minX, t.minY, t.maxX, t.maxY)
+        val tree = new LocalRTree[RectRow](2, 40, 1)
+          .bulkLoad(ra.map(t => Entry(box(t), t)))
+        val out = Vector.newBuilder[(Long, Long)]
+        la.foreach { a =>
+          tree.foreachIntersecting(box(a)) { b =>
+            if (grid.cellId(math.max(a.minX, b.value.minX),
+              math.max(a.minY, b.value.minY)) == cell)
+              out += ((a.id, b.value.id))
           }
         }
         out.result().iterator

@@ -1,0 +1,75 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.data.PagesGen
+import graft.engine._
+import graft.index.CellGrid
+
+/** Hot-cell skew handling (north_rule): a Zipf-ish skewed layer — most
+  * geometry piled into a handful of urban cells — must (a) produce results
+  * identical to the unsalted join and (b) actually split the hot cells'
+  * work across salts.
+  */
+class SkewSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-skew-test")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val grid = CellGrid.lonLat(4)
+
+  /** 70% of points in one urban disc (one-two cells), the rest uniform. */
+  private def skewedPoints(n: Int, seed: Int) = {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    spark.range(n).map { id =>
+      val hot = PagesGen.uniform(id + seed, 0) < 0.7
+      val (x, y) =
+        if (hot)
+          (13.4 + (PagesGen.uniform(id + seed, 1) - 0.5) * 0.5,
+            52.5 + (PagesGen.uniform(id + seed, 2) - 0.5) * 0.5)
+        else
+          (PagesGen.uniform(id + seed, 1) * 360.0 - 180.0,
+            PagesGen.uniform(id + seed, 2) * 170.0 - 85.0)
+      RectRow(id, x, y, x + 0.05, y + 0.05)
+    }
+  }
+
+  test("salted tree join == unsalted join on skewed data (exact pair set)") {
+    val l = skewedPoints(4000, 100)
+    val r = skewedPoints(800, 200)
+    val plain = SpatialOps.intersectionJoinTree(l, r, grid).collect().toSet
+    val salted = SpatialOps.intersectionJoinTreeSalted(l, r, grid,
+      hotThreshold = 200).collect().toSet
+    assert(salted == plain)
+    assert(plain.nonEmpty)
+  }
+
+  test("salting actually splits the hot cell across many co-partition keys") {
+    import spark.implicits._
+    val l = skewedPoints(4000, 100)
+    // reproduce the internal keying to observe the split
+    val g = grid // local copy: closures must not capture the suite instance
+    val celled = l.flatMap { t =>
+      g.cover(graft.geom.AABB.of2d(t.minX, t.minY, t.maxX, t.maxY))
+        .map(c => (c, t.id))
+    }.toDF("cell", "id")
+    val hist = celled.groupBy("cell").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val hottest = hist.maxBy(_._2)
+    assert(hottest._2 > 2000, s"fixture not skewed enough: $hottest")
+    // with threshold 200 the hot cell must shatter into ≥ 10 salts
+    val salts = math.min(256, ((hottest._2 + 199) / 200).toInt)
+    assert(salts >= 10)
+    // and AQE remains enabled as the runtime backstop
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
+  }
+}
