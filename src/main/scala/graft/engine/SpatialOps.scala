@@ -216,6 +216,14 @@ object SpatialOps {
     * window to `rank()`, reproducing the co-equal tie-set semantics of
     * `nearest_neighbors` (K3, rstar/src/rtree.rs:977-1043).
     */
+  /** Default kNN join: the same two-pass grid algorithm with the per-cell
+    * probe expressed in pure Catalyst — `WindowGroupLimit` pushes the top-k
+    * below the shuffle (a bounded per-partition heap), so the in-cell
+    * candidate blowup never crosses the wire and the whole path stays in
+    * Tungsten codegen. Benchmarks show this beats the typed tree-probe
+    * variant below until cells hold thousands of points (object churn);
+    * [[knnJoinTrees]] is the dense-cell alternative.
+    */
   def knnJoin(
       queries: Dataset[QueryRow], data: Dataset[PointRow], k: Int,
       grid: CellGrid, keepTies: Boolean = false): DataFrame = {
@@ -224,15 +232,22 @@ object SpatialOps {
 
     val dataCelled = data
       .withColumn("cell", stCell(grid)(col("x"), col("y")))
-    // Per-cell histogram: map-side-combined groupBy; bounded by 4^res cells.
-    val hist: Map[Long, Long] = dataCelled
-      .groupBy("cell").count()
-      .as[(Long, Long)].collect().toMap
-    val histB = spark.sparkContext.broadcast(hist)
+    // Histogram broadcast as two sorted primitive arrays + binary search:
+    // serializes and probes far faster than a boxed Map at fine resolutions
+    // (res 9 → up to 262k non-empty cells).
+    val histRows = dataCelled.groupBy("cell").count()
+      .as[(Long, Long)].collect().sortBy(_._1)
+    val histKeys = histRows.map(_._1)
+    val histCnts = histRows.map(_._2)
+    val histB = spark.sparkContext.broadcast((histKeys, histCnts))
 
     // Pass A: ring expansion per query until ≥ k candidates are guaranteed.
     val candA = queries.flatMap { q =>
-      val h = histB.value
+      val (hk, hc) = histB.value
+      def cnt(c: Long): Long = {
+        val i = java.util.Arrays.binarySearch(hk, c)
+        if (i >= 0) hc(i) else 0L
+      }
       val cx = grid.ix(q.x); val cy = grid.iy(q.y)
       var cum = 0L
       var ring = 0
@@ -240,7 +255,7 @@ object SpatialOps {
       val maxRing = grid.cellsPerAxis
       while (cum < k && ring <= maxRing) {
         grid.ring(cx, cy, ring).foreach { c =>
-          val n = h.getOrElse(c, 0L)
+          val n = cnt(c)
           if (n > 0) { cells += c; cum += n }
         }
         ring += 1
@@ -264,7 +279,7 @@ object SpatialOps {
         col("qx") + sqrt(col("dUp")), col("qy") + sqrt(col("dUp"))))
         .as("cell"))
 
-    val ranked = candB
+    candB
       .join(dataCelled, Seq("cell"))
       .withColumn("d2", stDistanceSq(col("x"), col("y"), col("qx"), col("qy")))
       .withColumn("rn",
@@ -272,7 +287,133 @@ object SpatialOps {
         else row_number().over(wAsc))
       .where(col("rn") <= k)
       .select(col("qid"), col("id"), col("d2"), col("rn"))
-    ranked
+  }
+
+  /** Tree-probe kNN join for dense cells: cogroup queries and data by cell,
+    * bulk-load a per-cell `LocalRTree`, emit each query's top-k via the
+    * best-first iterator — O(log n) per neighbor instead of streaming the
+    * whole in-cell candidate set through the window operator.
+    */
+  def knnJoinTrees(
+      queries: Dataset[QueryRow], data: Dataset[PointRow], k: Int,
+      grid: CellGrid, keepTies: Boolean = false): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+
+    val dataCelled = data.map(p => (grid.cellId(p.x, p.y), p))
+    // Per-cell histogram: map-side-combined groupBy; bounded by 4^res cells.
+    val hist: Map[Long, Long] =
+      dataCelled.groupByKey(_._1).count().collect().toMap
+    val histB = spark.sparkContext.broadcast(hist)
+
+    // Per-cell probe: cogroup queries with data by cell, bulk-load a local
+    // R-tree per cell, emit each query's per-cell top-k via the best-first
+    // distance iterator (nearest_neighbor.rs:56-158) — never the whole
+    // in-cell candidate set. keepTies extends past k while the distance
+    // stays float-equal to the k-th (K3 semantics).
+    def probe(cand: Dataset[(Long, QueryRow)]): Dataset[(Long, Long, Double)] =
+      cand.groupByKey(_._1).cogroup(dataCelled.groupByKey(_._1)) {
+        (_, qs, ds) =>
+          val darr = ds.map(_._2).toArray
+          if (darr.isEmpty) Iterator.empty
+          else {
+            val tree = new LocalRTree[Long](2, 40, 1).bulkLoad(
+              darr.map(p => Entry(AABB.fromPoint(Array(p.x, p.y)), p.id)))
+            qs.flatMap { case (_, q) =>
+              val pt = Array(q.x, q.y)
+              val it = tree.nearestNeighborIter(pt)
+              val out = Vector.newBuilder[(Long, Long, Double)]
+              var taken = 0
+              var kth = Double.MaxValue
+              var done = false
+              while (!done && it.hasNext) {
+                val (e, d2) = it.next()
+                if (taken < k) {
+                  out += ((q.qid, e.value, d2)); taken += 1; kth = d2
+                } else if (keepTies && d2 == kth) {
+                  out += ((q.qid, e.value, d2))
+                } else done = true
+              }
+              out.result()
+            }
+          }
+      }
+
+    // Pass A: ring expansion per query until ≥ k candidates are guaranteed;
+    // probe those cells → d_up = the k-th candidate distance upper bound.
+    val candA = queries.flatMap { q =>
+      val h = histB.value
+      val cx = grid.ix(q.x); val cy = grid.iy(q.y)
+      var cum = 0L
+      var ring = 0
+      val cells = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val maxRing = grid.cellsPerAxis
+      while (cum < k && ring <= maxRing) {
+        grid.ring(cx, cy, ring).foreach { c =>
+          val n = h.getOrElse(c, 0L)
+          if (n > 0) { cells += c; cum += n }
+        }
+        ring += 1
+      }
+      cells.map(c => (c, q))
+    }
+    val wAsc = Window.partitionBy("qid").orderBy(col("d2"), col("id"))
+    def rankCol =
+      if (keepTies) rank().over(Window.partitionBy("qid").orderBy(col("d2")))
+      else row_number().over(wAsc)
+
+    val topA = probe(candA).toDF("qid", "id", "d2")
+      .withColumn("rn", rankCol)
+      .where(col("rn") <= k)
+      .cache()
+    val dUp = topA.groupBy("qid")
+      .agg(max("d2").as("dUp"), count(lit(1)).as("got"))
+
+    // Safe-query shortcut: when the query's own cell holds ≥ k points and
+    // the d_up disc lies strictly inside that cell, pass A's own-cell probe
+    // already saw every possible competitor — no second pass. At uniform
+    // densities this retires the bulk of the queries; only border-straddling
+    // discs pay pass B.
+    val n = grid.cellsPerAxis
+    val cw = (grid.maxX - grid.minX) / n
+    val ch = (grid.maxY - grid.minY) / n
+    val histDf = dataCelled.groupByKey(_._1).count().toDF("cell", "cnt")
+    val qinfo = queries.toDF("qid", "qx", "qy")
+      .withColumn("cell", stCell(grid)(col("qx"), col("qy")))
+      .join(broadcast(histDf), Seq("cell"), "left")
+      .na.fill(0L, Seq("cnt"))
+      .join(dUp, Seq("qid"), "left")
+    val exLo = lit(grid.minX) + (col("cell") / n).cast("long") * cw
+    val eyLo = lit(grid.minY) + pmod(col("cell"), lit(n.toLong)) * ch
+    val border = least(
+      col("qx") - exLo, exLo + cw - col("qx"),
+      col("qy") - eyLo, eyLo + ch - col("qy"))
+    val safeFlag = col("cnt") >= k && col("dUp") < border * border
+    val safeQ = qinfo.where(safeFlag).select("qid")
+    val unsafeQ = qinfo.where(!safeFlag || col("dUp").isNull)
+      .select(col("qid"), col("qx"), col("qy"), col("dUp"))
+
+    val safeRows = topA.join(broadcast(safeQ), Seq("qid"), "left_semi")
+
+    // Pass B (unsafe queries only): cover the disc of radius sqrt(dUp);
+    // per-cell tree probes then a window over ≤ (cells × k) rows — exact,
+    // because no point outside the disc can beat the k-th candidate in hand.
+    val candB = unsafeQ
+      .where(col("dUp").isNotNull)
+      .select(col("qid"), col("qx"), col("qy"),
+        explode(stCoverCells(grid)(
+          col("qx") - sqrt(col("dUp")), col("qy") - sqrt(col("dUp")),
+          col("qx") + sqrt(col("dUp")), col("qy") + sqrt(col("dUp"))))
+          .as("cell"))
+      .as[(Long, Double, Double, Long)]
+      .map { case (qid, qx, qy, cell) => (cell, QueryRow(qid, qx, qy)) }
+
+    val unsafeRows = probe(candB).toDF("qid", "id", "d2")
+      .withColumn("rn", rankCol)
+      .where(col("rn") <= k)
+
+    safeRows.unionByName(unsafeRows)
+      .select(col("qid"), col("id"), col("d2"), col("rn"))
   }
 
   // --------------------------------------------------- selections as scans

@@ -114,6 +114,26 @@ class SpatialOpsSpec extends AnyFunSuite {
     assert(got.size == 60 * 5)
   }
 
+  test("knnJoinTrees (per-cell tree probe) == knnJoin on the same input") {
+    val s = sc
+    import s.implicits._
+    val data = points(2000, 4000)
+    val queries = s.range(60).map(i =>
+      QueryRow(i, uniform(i + 99, 1) * 360.0 - 180.0,
+        uniform(i + 99, 2) * 170.0 - 85.0))
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "id", "rn").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(key(SpatialOps.knnJoinTrees(queries, data, 5, grid)) ==
+      key(SpatialOps.knnJoin(queries, data, 5, grid)))
+    // tie semantics too
+    val tied = Seq(PointRow(0, 1, 0), PointRow(1, -1, 0), PointRow(2, 0, 1),
+      PointRow(3, 0, -1), PointRow(4, 3, 3)).toDS()
+    val q1 = Seq(QueryRow(0, 0, 0)).toDS()
+    assert(SpatialOps.knnJoinTrees(q1, tied, 1, grid, keepTies = true)
+      .select("id").collect().map(_.getLong(0)).toSet == Set(0L, 1L, 2L, 3L))
+  }
+
   test("knnJoin with k > |data| returns all data per query") {
     val s = sc
     import s.implicits._
