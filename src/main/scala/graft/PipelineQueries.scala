@@ -98,6 +98,36 @@ object PipelineQueries {
       |SELECT qid, id, dot, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= 10
       |ORDER BY qid, rn""".stripMargin
 
+  /** Embedding-cosine near-duplicate pairs, integer-exact: pairs (a < b)
+    * whose floor-scaled dot product clears the threshold (the int dot is a
+    * monotone proxy for cosine on these unit-ish vectors; the float-cosine
+    * variant is `annCosine`). Brute force here; the LSH-bucketed path
+    * (`annLsh`) is the 100 TB candidate generator.
+    */
+  def embedDup(spark: SparkSession, dir: String): DataFrame = {
+    val e = load(spark, dir, "embeddings").select(col("vec_id"),
+      transform(col("embedding"), x =>
+        floor(x.cast("double") * lit(1000.0)).cast("long")).as("v"))
+    val a = e.select(col("vec_id").as("a"), col("v").as("va"))
+    val b = e.select(col("vec_id").as("b"), col("v").as("vb"))
+    a.crossJoin(b).where(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        aggregate(zip_with(col("va"), col("vb"), (x, y) => x * y),
+          lit(0L), (acc, x) => acc + x).as("dot"))
+      .where(col("dot") >= 450000L)
+      .orderBy("a", "b")
+  }
+
+  val embedDupSql: String =
+    """WITH e AS (SELECT vec_id,
+      |  list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS v
+      |  FROM embeddings)
+      |SELECT a.vec_id AS a, b.vec_id AS b,
+      |  CAST(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2])) AS BIGINT) AS dot
+      |FROM e a JOIN e b ON a.vec_id < b.vec_id
+      |WHERE CAST(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2])) AS BIGINT) >= 450000
+      |ORDER BY a, b""".stripMargin
+
   def annCosine(spark: SparkSession, dir: String): DataFrame =
     PipelineOps.annCosine(load(spark, dir, "embeddings"), nQueries = 10, k = 10)
       .orderBy("qid", "rn")

@@ -258,6 +258,56 @@ object Queries {
        |  AND min_y <= ${QB._4} AND max_y >= ${QB._2})
        |ORDER BY id""".stripMargin
 
+  // ---------------------------------------------- G14: line-layer distance
+
+  /** Distance from every customer point to its nearest segment of a
+    * nation-derived line layer (`Line::distance_2`,
+    * rstar/src/primitives/line.rs:71-113): min over a broadcast 25-line
+    * layer — MIN of doubles is order-independent, so the oracle matches
+    * bit-exactly.
+    */
+  def lineNearest(spark: SparkSession, dir: String): DataFrame = {
+    val lines = load(spark, dir, "nation")
+      .select(col("n_nationkey").cast("long").as("lid"))
+      .select(col("lid"),
+        qx(col("lid")).as("x1"), qy(col("lid")).as("y1"),
+        (qx(col("lid")) + lit(5.0)).as("x2"), (qy(col("lid")) + lit(3.0)).as("y2"))
+    val pts = points(load(spark, dir, "customer"), "c_custkey")
+    pts.crossJoin(broadcast(lines))
+      .select(col("id"),
+        stLineDistanceSq(col("x1"), col("y1"), col("x2"), col("y2"),
+          col("x"), col("y")).as("d2"))
+      .groupBy("id").agg(min("d2").as("min_d2"))
+      .orderBy("id")
+  }
+
+  val lineNearestSql: String =
+    s"""WITH l AS (SELECT CAST(n_nationkey AS BIGINT) AS lid,
+       |  ${qxSql("CAST(n_nationkey AS BIGINT)")} AS x1,
+       |  ${qySql("CAST(n_nationkey AS BIGINT)")} AS y1,
+       |  ${qxSql("CAST(n_nationkey AS BIGINT)")} + 5.0 AS x2,
+       |  ${qySql("CAST(n_nationkey AS BIGINT)")} + 3.0 AS y2 FROM nation),
+       |p AS (${pointsSql("customer", "c_custkey")}),
+       |j AS (SELECT p.id,
+       |  (p.x - (l.x1 + LEAST(1.0, GREATEST(0.0,
+       |     ((p.x - l.x1) * (l.x2 - l.x1) + (p.y - l.y1) * (l.y2 - l.y1))
+       |     / ((l.x2 - l.x1) * (l.x2 - l.x1) + (l.y2 - l.y1) * (l.y2 - l.y1))))
+       |     * (l.x2 - l.x1)))
+       |  * (p.x - (l.x1 + LEAST(1.0, GREATEST(0.0,
+       |     ((p.x - l.x1) * (l.x2 - l.x1) + (p.y - l.y1) * (l.y2 - l.y1))
+       |     / ((l.x2 - l.x1) * (l.x2 - l.x1) + (l.y2 - l.y1) * (l.y2 - l.y1))))
+       |     * (l.x2 - l.x1)))
+       |  + (p.y - (l.y1 + LEAST(1.0, GREATEST(0.0,
+       |     ((p.x - l.x1) * (l.x2 - l.x1) + (p.y - l.y1) * (l.y2 - l.y1))
+       |     / ((l.x2 - l.x1) * (l.x2 - l.x1) + (l.y2 - l.y1) * (l.y2 - l.y1))))
+       |     * (l.y2 - l.y1)))
+       |  * (p.y - (l.y1 + LEAST(1.0, GREATEST(0.0,
+       |     ((p.x - l.x1) * (l.x2 - l.x1) + (p.y - l.y1) * (l.y2 - l.y1))
+       |     / ((l.x2 - l.x1) * (l.x2 - l.x1) + (l.y2 - l.y1) * (l.y2 - l.y1))))
+       |     * (l.y2 - l.y1))) AS d2
+       |  FROM p CROSS JOIN l)
+       |SELECT id, MIN(d2) AS min_d2 FROM j GROUP BY id ORDER BY id""".stripMargin
+
   // ------------------------------------------------ G5: envelope-of-group
 
   def envelopeAgg(spark: SparkSession, dir: String): DataFrame =

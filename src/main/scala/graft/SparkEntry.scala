@@ -29,8 +29,10 @@ object SparkEntry {
     "q_remove_one" -> (Queries.removeOne(_, _)),
     "q_drain_remainder" -> (Queries.drainRemainder(_, _)),
     "q_envelope_agg" -> (Queries.envelopeAgg(_, _)),
+    "q_line_nearest" -> (Queries.lineNearest(_, _)),
     // training-data pipeline operators
     "q_dedup_exact" -> (PipelineQueries.dedupExact(_, _)),
+    "q_embed_dup" -> (PipelineQueries.embedDup(_, _)),
     "q_ngram_dup" -> (PipelineQueries.ngramDup(_, _)),
     "q_minhash_dup" -> (PipelineQueries.minhashDup(_, _)),
     "q_simhash" -> (PipelineQueries.simhash(_, _)),
@@ -61,8 +63,10 @@ object SparkEntry {
     "q_remove_one" -> Queries.removeOneSql,
     "q_drain_remainder" -> Queries.drainRemainderSql,
     "q_envelope_agg" -> Queries.envelopeAggSql,
+    "q_line_nearest" -> Queries.lineNearestSql,
     // pipeline oracles (hash-based scale paths have no SQL twin → rows-only)
     "q_dedup_exact" -> PipelineQueries.dedupExactSql,
+    "q_embed_dup" -> PipelineQueries.embedDupSql,
     "q_ngram_dup" -> PipelineQueries.ngramDupSql,
     "q_token_stats" -> PipelineQueries.tokenStatsSql,
     "q_text_quality" -> PipelineQueries.textQualitySql,

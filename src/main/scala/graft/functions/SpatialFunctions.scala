@@ -51,6 +51,25 @@ object SpatialFunctions {
     stDistanceSq(cx, cy, px, py)
   }
 
+  /** Squared distance from point (px,py) to segment (x1,y1)-(x2,y2): the
+    * segment-clamped projection (reference `Line::distance_2`,
+    * rstar/src/primitives/line.rs:71-113). Callers guarantee a
+    * non-degenerate segment (len² > 0); operand order is fixed so the SQL
+    * twin is bit-identical.
+    */
+  def stLineDistanceSq(
+      x1: Column, y1: Column, x2: Column, y2: Column,
+      px: Column, py: Column): Column = {
+    val dx = x2 - x1
+    val dy = y2 - y1
+    val len2 = dx * dx + dy * dy
+    val t = ((px - x1) * dx + (py - y1) * dy) / len2
+    val tc = least(lit(1.0), greatest(lit(0.0), t))
+    val nx = x1 + tc * dx
+    val ny = y1 + tc * dy
+    (px - nx) * (px - nx) + (py - ny) * (py - ny)
+  }
+
   /** Grid axis index for one coordinate — MUST mirror CellGrid.ix/iy
     * bit-for-bit: floor((v - min) / extent * n), clamped to [0, n-1].
     */

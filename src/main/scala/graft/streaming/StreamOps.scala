@@ -1,0 +1,56 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.data.PagesGen
+import graft.functions.SpatialFunctions.stCell
+import graft.index.CellGrid
+
+/** Structured Streaming ingest for the engine (beyond the reference's
+  * batch-only scope — rstar has no streams, SURVEY.md §2.8 — but a crawl
+  * pipeline ingests continuously): pages arrive as files, geo-entities are
+  * extracted with the same built-in expressions as the batch path, and
+  * per-cell windowed counts feed the hot-cell monitor that drives salting
+  * decisions. Watermarking bounds state; output is append-mode so every
+  * sink (parquet/kafka/memory) works.
+  */
+object StreamOps {
+
+  val pagesSchema: StructType = StructType(Seq(
+    StructField("url", StringType, nullable = false),
+    StructField("warc_ts", TimestampType, nullable = false),
+    StructField("html", BinaryType),
+    StructField("text", StringType, nullable = false),
+    StructField("lang", StringType)))
+
+  /** File stream of pages → exploded entity stream with cell ids. The
+    * extraction expression is shared with the batch path (PagesGen.entities)
+    * so batch and stream agree byte-for-byte on the same input.
+    */
+  def entityStream(spark: SparkSession, dir: String, grid: CellGrid): DataFrame =
+    spark.readStream
+      .schema(pagesSchema)
+      .parquet(dir)
+      .withColumn("e", explode(PagesGen.entities(col("text"))))
+      .select(col("url"), col("warc_ts"),
+        col("e.lon").as("x"), col("e.lat").as("y"))
+      .withColumn("cell", stCell(grid)(col("x"), col("y")))
+
+  /** Watermarked tumbling-window per-cell entity counts — the streaming
+    * form of the build histogram (C2 stage 1): late pages beyond the
+    * watermark are dropped, state stays bounded.
+    */
+  def cellCounts(entities: DataFrame, window: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    entities
+      .withWatermark("warc_ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("warc_ts"), window)
+        .as("w"), col("cell"))
+      .agg(count(lit(1)).as("cnt"),
+        min("x").as("min_x"), min("y").as("min_y"),
+        max("x").as("max_x"), max("y").as("max_y"))
+      .select(col("w.start").as("win_start"), col("cell"), col("cnt"),
+        col("min_x"), col("min_y"), col("max_x"), col("max_y"))
+}
