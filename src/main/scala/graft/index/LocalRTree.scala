@@ -45,6 +45,10 @@ final class LocalRTree[T](
 
   private var root: Inner[T] = Inner.empty[T]
   private var cnt: Int = 0
+  // Frozen = built by bulkLoad and unmodified since: flat envelope caches
+  // are valid (see Inner.flatEnvs). Any mutation clears it; rebuild-based
+  // removal re-freezes through bulkLoad.
+  private var frozen: Boolean = false
 
   def size: Int = cnt
   def rootNode: Inner[T] = root
@@ -63,6 +67,7 @@ final class LocalRTree[T](
         omtBuild(elements, 0, elements.length, height)
       }
     cnt = elements.length
+    frozen = true
     this
   }
 
@@ -135,6 +140,7 @@ final class LocalRTree[T](
     * micro-batch appends; bulk load is the hot path.
     */
   def insert(entry: Entry[T]): Unit = {
+    frozen = false
     if (cnt == 0) {
       root = Inner.ofChildren(Array[Node[T]](entry))
       cnt = 1
@@ -439,13 +445,20 @@ final class LocalRTree[T](
     * plain recursion, no iterator or stack allocation per probe.
     */
   def foreachIntersecting(q: AABB)(f: Entry[T] => Unit): Unit = {
+    val dims = if (cnt > 0) root.env.dims else 2
+    val useFlat = frozen
     def walk(n: Inner[T]): Unit = {
       val kids = n.children
+      val flat = if (useFlat) n.flatEnvs(dims) else null
+      val stride = 2 * dims
       var i = 0
       while (i < kids.length) {
-        kids(i) match {
-          case e: Entry[T @unchecked] => if (q.intersects(e.env)) f(e)
-          case in: Inner[T @unchecked] => if (q.intersects(in.env)) walk(in)
+        val hit =
+          if (flat != null) flatIntersects(flat, i * stride, dims, q)
+          else q.intersects(kids(i).env)
+        if (hit) kids(i) match {
+          case e: Entry[T @unchecked] => f(e)
+          case in: Inner[T @unchecked] => walk(in)
         }
         i += 1
       }
@@ -471,20 +484,29 @@ final class LocalRTree[T](
     val d = if (dist == null) (e: Entry[T]) => e.env.distance2(p) else dist
     val heap = new DistHeap[Node[T]](32)
     var smallestMinMax = Double.MaxValue
+    val dims = root.env.dims
+    val scratch = new Array[Double](dims)
+    val useFlat = frozen
     def pushChildren(inner: Inner[T]): Unit = {
       val kids = inner.children
+      val flat = if (useFlat) inner.flatEnvs(dims) else null
+      val stride = 2 * dims
       var i = 0
       while (i < kids.length) {
-        kids(i) match {
-          case e: Entry[T @unchecked] =>
-            val dd = e.env.distance2(p)
-            if (dd <= smallestMinMax) heap.enqueue(dd, e)
-          case in: Inner[T @unchecked] =>
-            val lb = in.env.distance2(p)
-            if (lb <= smallestMinMax) {
-              smallestMinMax = math.min(smallestMinMax, in.env.minMaxDist2(p))
-              heap.enqueue(lb, in)
-            }
+        val dd =
+          if (flat != null) flatDistance2(flat, i * stride, dims, p)
+          else kids(i).env.distance2(p)
+        if (dd <= smallestMinMax) {
+          kids(i) match {
+            case e: Entry[T @unchecked] => heap.enqueue(dd, e)
+            case in: Inner[T @unchecked] =>
+              val mm =
+                if (flat != null)
+                  flatMinMaxDist2(flat, i * stride, dims, p, scratch)
+                else in.env.minMaxDist2(p)
+              if (mm < smallestMinMax) smallestMinMax = mm
+              heap.enqueue(dd, in)
+          }
         }
         i += 1
       }
@@ -516,16 +538,23 @@ final class LocalRTree[T](
       p: Array[Double],
       dist: Entry[T] => Double = null): Iterator[(Entry[T], Double)] = {
     val d = if (dist == null) (e: Entry[T]) => e.env.distance2(p) else dist
+    val flatOk = frozen && dist == null
     new Iterator[(Entry[T], Double)] {
       private val heap = new DistHeap[Node[T]](32)
+      private val dims = if (cnt > 0) root.env.dims else 2
       if (cnt > 0) heap.enqueue(root.env.distance2(p), root)
 
       private def settle(): Unit = {
         while (heap.nonEmpty && !heap.headVal.isInstanceOf[Entry[_]]) {
-          val kids = heap.dequeue().asInstanceOf[Inner[T]].children
+          val inner = heap.dequeue().asInstanceOf[Inner[T]]
+          val kids = inner.children
+          val flat = if (flatOk) inner.flatEnvs(dims) else null
+          val stride = 2 * dims
           var i = 0
           while (i < kids.length) {
-            kids(i) match {
+            if (flat != null)
+              heap.enqueue(flatDistance2(flat, i * stride, dims, p), kids(i))
+            else kids(i) match {
               case e: Entry[T @unchecked] => heap.enqueue(d(e), e)
               case in: Inner[T @unchecked] =>
                 heap.enqueue(in.env.distance2(p), in)
@@ -713,6 +742,31 @@ object LocalRTree {
       children.foreach(c => e.mergeInPlace(c.env))
       env = e
     }
+
+    /** Flat copy of the children's envelopes (lower then upper per child,
+      * stride 2·dims): hot query loops scan this sequentially instead of
+      * chasing Entry→AABB→array pointers — the JVM stand-in for the
+      * reference's inline envelopes. Only valid on frozen (bulk-loaded)
+      * trees; rebuilt lazily after deserialization (idempotent, so the
+      * benign publish race between reader threads is safe).
+      */
+    @transient private var flat: Array[Double] = _
+    def flatEnvs(dims: Int): Array[Double] = {
+      var f = flat
+      val want = children.length * 2 * dims
+      if (f == null || f.length != want) {
+        f = new Array[Double](want)
+        var i = 0
+        while (i < children.length) {
+          val e = children(i).env
+          System.arraycopy(e.lower, 0, f, i * 2 * dims, dims)
+          System.arraycopy(e.upper, 0, f, i * 2 * dims + dims, dims)
+          i += 1
+        }
+        flat = f
+      }
+      f
+    }
   }
 
   object Inner {
@@ -787,6 +841,58 @@ object LocalRTree {
       vals(n) = null
       top
     }
+  }
+
+  // ---- flat-envelope primitives (see Inner.flatEnvs) -------------------
+
+  private[index] def flatDistance2(
+      f: Array[Double], base: Int, dims: Int, p: Array[Double]): Double = {
+    var acc = 0.0
+    var d = 0
+    while (d < dims) {
+      val lo = f(base + d); val hi = f(base + dims + d); val v = p(d)
+      val c = (if (v < lo) lo else if (v > hi) hi else v) - v
+      acc += c * c
+      d += 1
+    }
+    acc
+  }
+
+  private[index] def flatIntersects(
+      f: Array[Double], base: Int, dims: Int, q: AABB): Boolean = {
+    var d = 0
+    while (d < dims) {
+      if (f(base + d) > q.upper(d) || f(base + dims + d) < q.lower(d))
+        return false
+      d += 1
+    }
+    true
+  }
+
+  /** Same order of operations as AABB.minMaxDist2. */
+  private[index] def flatMinMaxDist2(
+      f: Array[Double], base: Int, dims: Int, p: Array[Double],
+      scratch: Array[Double]): Double = {
+    var bestDiff = 0.0
+    var bestMin = 0.0
+    var bestIdx = 0
+    var d = 0
+    while (d < dims) {
+      val lo = f(base + d) - p(d)
+      val hi = f(base + dims + d) - p(d)
+      var mn = lo * lo
+      var mx = hi * hi
+      if (mx < mn) { val t = mn; mn = mx; mx = t }
+      val diff = mx - mn
+      scratch(d) = mx
+      if (diff >= bestDiff) { bestDiff = diff; bestMin = mn; bestIdx = d }
+      d += 1
+    }
+    scratch(bestIdx) = bestMin
+    var acc = 0.0
+    d = 0
+    while (d < dims) { acc += scratch(d); d += 1 }
+    acc
   }
 
   private[index] def ceilDiv(a: Int, b: Int): Int = (a + b - 1) / b
