@@ -25,6 +25,14 @@ object Bench {
     * operator suite). Returns the entity row count.
     */
   def materializeEntities(spark: SparkSession, nPages: Long, dir: String): Long = {
+    // Idempotent across bench invocations in one round: the input is a pure
+    // function of nPages, so a marker with the matching count lets repeated
+    // driver runs skip the (minutes-long) synthesis.
+    val markerPath = java.nio.file.Paths.get(s"$dir.pages_$nPages")
+    if (java.nio.file.Files.exists(markerPath)) {
+      try return new String(java.nio.file.Files.readAllBytes(markerPath)).trim.toLong
+      catch { case _: Throwable => () }
+    }
     val parts = spark.sparkContext.defaultParallelism * 2
     PagesGen.pages(spark, nPages, skewShare = 0.3, partitions = parts)
       .toDF()
@@ -33,7 +41,9 @@ object Bench {
         monotonically_increasing_id().as("id"),
         col("e.lon").as("x"), col("e.lat").as("y"))
       .write.mode("overwrite").parquet(dir)
-    spark.read.parquet(dir).count()
+    val n = spark.read.parquet(dir).count()
+    java.nio.file.Files.write(markerPath, n.toString.getBytes)
+    n
   }
 
   /** The headline metric (BASELINE.json): spatial join (J1) of the entity

@@ -61,6 +61,48 @@ class LocalRTreeSpec extends AnyFunSuite {
     }
   }
 
+  test("bulk load multiset + query parity in 3 and 4 dimensions " +
+    "(bulk_load_sequential.rs:124-139 dims sweep)") {
+    Seq(3, 4).foreach { dims =>
+      val n = 500
+      val ps = Array.tabulate(n)(i =>
+        Array.tabulate(dims)(d => uniform(dims * 100 + d, i)))
+      val t = new LocalRTree[Int]().bulkLoad(
+        ps.zipWithIndex.map { case (p, i) => Entry(AABB.fromPoint(p), i) })
+      assert(t.size == n)
+      t.sanityCheck()
+      assert(t.iterator.map(_.value).toSeq.sorted == (0 until n))
+      // n-dim NN vs linear scan
+      (0 until 20).foreach { qi =>
+        val q = Array.tabulate(dims)(d => uniform(999 + d, qi))
+        val got = t.nearestNeighbor(q).get._2
+        assert(got == ps.map(p => Pt.distance2(p, q)).min)
+      }
+      // n-dim box query vs scan
+      val lo = Array.fill(dims)(0.2); val hi = Array.fill(dims)(0.7)
+      val box = AABB.fromBounds(lo, hi)
+      assert(t.queryContained(box).map(_.value).toSet ==
+        ps.zipWithIndex.collect {
+          case (p, i) if box.containsPoint(p) => i }.toSet)
+    }
+  }
+
+  test("integer coordinates (i32 range) are exact in doubles " +
+    "(create_random_integers, test_utilities.rs:11-21)") {
+    val n = 400
+    val ps = Array.tabulate(n)(i => Array(
+      math.floor(uniform(55, 2 * i) * 200000.0) - 100000.0,
+      math.floor(uniform(55, 2 * i + 1) * 200000.0) - 100000.0))
+    val t = new LocalRTree[Int]().bulkLoad(
+      ps.zipWithIndex.map { case (p, i) => Entry(AABB.fromPoint(p), i) })
+    (0 until 20).foreach { qi =>
+      val q = Array(
+        math.floor(uniform(77, 2 * qi) * 200000.0) - 100000.0,
+        math.floor(uniform(77, 2 * qi + 1) * 200000.0) - 100000.0)
+      assert(t.nearestNeighbor(q).get._2 == ps.map(p => Pt.distance2(p, q)).min)
+    }
+  }
+
   test("bulk load handles degenerate coplanar points (rtree.rs:1307-1371)") {
     val ps = Array.tabulate(50)(i =>
       Array(i.toDouble % 7, 1080.0, (i / 7).toDouble))
