@@ -1,6 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
@@ -124,5 +125,85 @@ object SpatialJoinRewrite extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => SpatialJoinRewrite)
+    GraftFunctions.registrations.foreach { case (name, info, builder) =>
+      e.injectFunction((FunctionIdentifier(name), info, builder))
+    }
   }
+}
+
+/** SQL registrations for the st_* functions, as raw Catalyst expression
+  * builders (Spark 4's Column API is node-based, so Column compositions
+  * can't be reused as SQL function bodies; SpatialJoinRewriteSpec asserts
+  * the two surfaces agree). Same IEEE arithmetic, same operand order as
+  * graft.functions.SpatialFunctions.
+  */
+object GraftFunctions {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+  private def sq(a: Expression): Expression = Multiply(a, a)
+
+  /** (x-px)² + (y-py)² — twin of stDistanceSq. */
+  private def dist2(x: Expression, y: Expression,
+      px: Expression, py: Expression): Expression =
+    Add(sq(Subtract(x, px)), sq(Subtract(y, py)))
+
+  private def containsPoint(es: Seq[Expression]): Expression = {
+    val Seq(minX, minY, maxX, maxY, px, py) = es
+    And(And(LessThanOrEqual(minX, px), LessThanOrEqual(px, maxX)),
+      And(LessThanOrEqual(minY, py), LessThanOrEqual(py, maxY)))
+  }
+
+  private def intersectsBox(es: Seq[Expression]): Expression = {
+    val Seq(aMinX, aMinY, aMaxX, aMaxY, bMinX, bMinY, bMaxX, bMaxY) = es
+    And(And(LessThanOrEqual(aMinX, bMaxX), GreaterThanOrEqual(aMaxX, bMinX)),
+      And(LessThanOrEqual(aMinY, bMaxY), GreaterThanOrEqual(aMaxY, bMinY)))
+  }
+
+  private def boxDist2(es: Seq[Expression]): Expression = {
+    val Seq(minX, minY, maxX, maxY, px, py) = es
+    val cx = Least(Seq(maxX, Greatest(Seq(minX, px))))
+    val cy = Least(Seq(maxY, Greatest(Seq(minY, py))))
+    dist2(cx, cy, px, py)
+  }
+
+  /** Segment-clamped projection — twin of stLineDistanceSq. */
+  private def lineDist2(es: Seq[Expression]): Expression = {
+    val Seq(x1, y1, x2, y2, px, py) = es
+    val dx = Subtract(x2, x1)
+    val dy = Subtract(y2, y1)
+    val len2 = Add(sq(dx), sq(dy))
+    val t = Divide(Add(Multiply(Subtract(px, x1), dx),
+      Multiply(Subtract(py, y1), dy)), len2)
+    val tc = Least(Seq(Literal(1.0), Greatest(Seq(Literal(0.0), t))))
+    val nx = Add(x1, Multiply(tc, dx))
+    val ny = Add(y1, Multiply(tc, dy))
+    Add(sq(Subtract(px, nx)), sq(Subtract(py, ny)))
+  }
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft.functions.SpatialFunctions", null, name, usage,
+      "", "", "", "", "", "", "scala_udf")
+
+  val registrations: Seq[(String, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    ("st_distance_sq",
+      info("st_distance_sq", "squared euclidean distance (x, y, px, py)"),
+      (es: Seq[Expression]) => dist2(es(0), es(1), es(2), es(3))),
+    ("st_contains_point",
+      info("st_contains_point",
+        "closed-interval point-in-box (minX, minY, maxX, maxY, px, py)"),
+      containsPoint _),
+    ("st_intersects_box",
+      info("st_intersects_box",
+        "closed-interval box overlap (aMinX..aMaxY, bMinX..bMaxY)"),
+      intersectsBox _),
+    ("st_box_distance_sq",
+      info("st_box_distance_sq",
+        "squared distance from point to box (minX, minY, maxX, maxY, px, py)"),
+      boxDist2 _),
+    ("st_line_distance_sq",
+      info("st_line_distance_sq",
+        "squared distance from point to segment (x1, y1, x2, y2, px, py)"),
+      lineDist2 _))
 }

@@ -87,6 +87,20 @@ class SpatialJoinRewriteSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.graft.spatialJoin.enabled", "true")
   }
 
+  test("st_* functions are callable from SQL via the extensions") {
+    import spark.implicits._
+    Seq((0.5, 0.5), (3.0, 4.0)).toDF("x", "y").createOrReplaceTempView("pts")
+    val d = spark.sql("SELECT st_distance_sq(x, y, 0.0d, 0.0d) AS d2 FROM pts ORDER BY d2")
+      .collect().map(_.getDouble(0)).toSeq
+    assert(d == Seq(0.5, 25.0))
+    val hit = spark.sql(
+      "SELECT st_contains_point(0.0d, 0.0d, 1.0d, 1.0d, 1.0d, 1.0d) AS c").collect()(0).getBoolean(0)
+    assert(hit) // closed interval: border contained
+    val seg = spark.sql(
+      "SELECT st_line_distance_sq(0.0d, 0.0d, 1.0d, 1.0d, 1.0d, 0.0d) AS d").collect()(0).getDouble(0)
+    assert(seg == 0.5)
+  }
+
   test("non-spatial joins are untouched") {
     import spark.implicits._
     val a = Seq((1L, 2.0), (2L, 3.0)).toDF("id", "v")
