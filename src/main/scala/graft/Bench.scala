@@ -33,6 +33,16 @@ object Bench {
       try return new String(java.nio.file.Files.readAllBytes(markerPath)).trim.toLong
       catch { case _: Throwable => () }
     }
+    // a different page count is about to overwrite the dir: drop every
+    // stale sibling marker so no later run trusts it
+    val parent = java.nio.file.Paths.get(dir).toAbsolutePath.getParent
+    val base = java.nio.file.Paths.get(dir).getFileName.toString
+    if (parent != null && java.nio.file.Files.exists(parent)) {
+      java.nio.file.Files.list(parent).forEach { p =>
+        if (p.getFileName.toString.startsWith(s"$base.pages_"))
+          java.nio.file.Files.delete(p)
+      }
+    }
     val parts = spark.sparkContext.defaultParallelism * 2
     PagesGen.pages(spark, nPages, skewShare = 0.3, partitions = parts)
       .toDF()

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.geom.AABB
-import graft.index.{CellGrid, Entry, LocalRTree}
+import graft.index.{CellGrid, Entry, LocalRTree, PointRTree2D}
 import graft.functions.SpatialFunctions._
 
 /** Row shapes for the distributed index: narrow (id + geometry) on purpose —
@@ -306,33 +306,23 @@ object SpatialOps {
       dataCelled.groupByKey(_._1).count().collect().toMap
     val histB = spark.sparkContext.broadcast(hist)
 
-    // Per-cell probe: cogroup queries with data by cell, bulk-load a local
-    // R-tree per cell, emit each query's per-cell top-k via the best-first
-    // distance iterator (nearest_neighbor.rs:56-158) — never the whole
-    // in-cell candidate set. keepTies extends past k while the distance
-    // stays float-equal to the k-th (K3 semantics).
+    // Per-cell probe: cogroup queries with data by cell, bulk-load a packed
+    // SoA point tree per cell (PointRTree2D: STR order, implicit levels, no
+    // objects on the probe path), emit each query's per-cell top-k in
+    // distance order — never the whole in-cell candidate set. keepTies
+    // extends past k while the distance stays float-equal to the k-th (K3).
     def probe(cand: Dataset[(Long, QueryRow)]): Dataset[(Long, Long, Double)] =
       cand.groupByKey(_._1).cogroup(dataCelled.groupByKey(_._1)) {
         (_, qs, ds) =>
           val darr = ds.map(_._2).toArray
           if (darr.isEmpty) Iterator.empty
           else {
-            val tree = new LocalRTree[Long](2, 40, 1).bulkLoad(
-              darr.map(p => Entry(AABB.fromPoint(Array(p.x, p.y)), p.id)))
+            val tree = PointRTree2D.build(
+              darr.map(_.id), darr.map(_.x), darr.map(_.y))
             qs.flatMap { case (_, q) =>
-              val pt = Array(q.x, q.y)
-              val it = tree.nearestNeighborIter(pt)
               val out = Vector.newBuilder[(Long, Long, Double)]
-              var taken = 0
-              var kth = Double.MaxValue
-              var done = false
-              while (!done && it.hasNext) {
-                val (e, d2) = it.next()
-                if (taken < k) {
-                  out += ((q.qid, e.value, d2)); taken += 1; kth = d2
-                } else if (keepTies && d2 == kth) {
-                  out += ((q.qid, e.value, d2))
-                } else done = true
+              tree.nearestK(q.x, q.y, k, keepTies) { (p, d2) =>
+                out += ((q.qid, tree.ids(p), d2))
               }
               out.result()
             }
