@@ -50,6 +50,15 @@ object PipelineQueries {
   def simhash(spark: SparkSession, dir: String): DataFrame =
     PipelineOps.simhash(load(spark, dir, "documents")).orderBy("doc_id")
 
+  /** Composed corpus cleaner (rows-only check: the near-dup stage is
+    * xxhash-based). Deterministic output ordering by doc_id.
+    */
+  def cleanCorpus(spark: SparkSession, dir: String): DataFrame =
+    PipelineOps.cleanCorpus(load(spark, dir, "documents"),
+      langs = Seq("en", "de", "fr", "es"))
+      .select("doc_id", "lang", "n_chars")
+      .orderBy("doc_id")
+
   // --------------------------------------------------------- text stats
 
   def tokenStats(spark: SparkSession, dir: String): DataFrame =

@@ -35,6 +35,7 @@ object SparkEntry {
     "q_embed_dup" -> (PipelineQueries.embedDup(_, _)),
     "q_ngram_dup" -> (PipelineQueries.ngramDup(_, _)),
     "q_minhash_dup" -> (PipelineQueries.minhashDup(_, _)),
+    "q_clean_corpus" -> (PipelineQueries.cleanCorpus(_, _)),
     "q_simhash" -> (PipelineQueries.simhash(_, _)),
     "q_token_stats" -> (PipelineQueries.tokenStats(_, _)),
     "q_text_quality" -> (PipelineQueries.textQuality(_, _)),

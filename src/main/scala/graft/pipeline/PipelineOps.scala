@@ -199,6 +199,43 @@ object PipelineOps {
     }.toDF("doc_id", "pred_lang")
   }
 
+  /** The composed training-corpus cleaner — the end-to-end shape a 100 TB
+    * text pipeline runs nightly: exact dedup (content hash, keep min id) →
+    * near-dup removal (MinHash-LSH candidates, exact-verified, keep the
+    * smaller id of each pair) → quality gates (length + token bounds) →
+    * language allowlist. Every stage is a narrow-key shuffle or a filter;
+    * text travels untouched (the byte-identity invariant applies to the
+    * survivors).
+    */
+  def cleanCorpus(
+      docs: DataFrame,
+      minChars: Int = 50,
+      minTokens: Int = 8,
+      maxAvgTokLen: Double = 12.0,
+      nearDupThreshold: Double = 0.9,
+      langs: Seq[String] = Seq.empty): DataFrame = {
+    // 1. exact dedup: keep the min doc_id of every identical-text group
+    val keepers = exactDupGroups(docs).select(col("keeper").as("doc_id"))
+    val exactDeduped = docs.join(keepers, Seq("doc_id"), "left_semi")
+    // 2. near-dup removal: drop the larger id of each verified pair.
+    // 32 perms / 8 bands of 4: P(miss) at J=0.9 is (1-0.9^4)^8 ≈ 2e-4 —
+    // the 16/4 default misses ~1.4% of strong pairs, which a cleaner
+    // cannot afford.
+    val losers = minhashLshPairs(exactDeduped, threshold = nearDupThreshold,
+        numPerms = 32, bands = 8)
+      .select(col("b").as("doc_id")).distinct()
+    val nearDeduped = exactDeduped.join(losers, Seq("doc_id"), "left_anti")
+    // 3. quality gates
+    val q = textQuality(nearDeduped).where(
+      col("n_chars") >= minChars && col("n_tokens") >= minTokens &&
+        col("avg_tok_len") <= maxAvgTokLen)
+      .select("doc_id")
+    val qualified = nearDeduped.join(q, Seq("doc_id"), "left_semi")
+    // 4. language allowlist (empty = keep all)
+    if (langs.isEmpty) qualified
+    else qualified.where(col("lang").isin(langs: _*))
+  }
+
   // ------------------------------------------------------------------ ANN
 
   /** Brute-force top-k inner-product search with floor-scaled integer

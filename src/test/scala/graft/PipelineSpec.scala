@@ -111,6 +111,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(b.toSeq == b2.toSeq)
   }
 
+  test("cleanCorpus: composed dedup + quality + language pipeline keeps a " +
+    "duplicate-free, gated corpus with text untouched") {
+    import org.apache.spark.sql.functions.{col, length}
+    val out = PipelineOps.cleanCorpus(docs, minChars = 50, minTokens = 8,
+      nearDupThreshold = 0.9, langs = Seq("en", "de", "fr")).cache()
+    val n = out.count()
+    assert(n > 0 && n < docs.count())
+    // survivors: allowed languages only, gates hold
+    assert(out.where(!col("lang").isin("en", "de", "fr")).count() == 0)
+    assert(out.where(length(col("text")) < 50).count() == 0)
+    // no surviving exact duplicates
+    val dups = out.groupBy("text").count().where(col("count") > 1).count()
+    assert(dups == 0)
+    // no surviving strong near-duplicate pairs
+    assert(PipelineOps.ngramJaccardPairs(out, 3, 0.9).count() == 0)
+    // survivors' text is byte-identical to the source rows (anti-corruption)
+    val src = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.select("doc_id", "text").collect().foreach { r =>
+      assert(src(r.getLong(0)) == r.getString(1))
+    }
+    out.unpersist()
+  }
+
   test("media stub plumbing: binary columns through batched decode, " +
     "frame sampling, resize — schema and determinism") {
     import spark.implicits._
