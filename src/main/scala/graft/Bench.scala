@@ -113,7 +113,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val nPages = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "8000000").toLong
+    val nPages = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "6000000").toLong
 
     // Part 1: operator suite at full parallelism.
     val spark = session(cpus)
@@ -156,7 +156,7 @@ object Bench {
     // GC/IO noise spikes and minutes-scale drift; interleaving exposes both
     // levels to the same conditions, max estimates capability.
     run(hiN, warm = true) // JVM-wide JIT warm-up, untimed
-    val pairs = (1 to 3).map { _ =>
+    val pairs = (1 to 2).map { _ =>
       (run(loN, warm = false), run(hiN, warm = false))
     }
     val tputLo = pairs.map(_._1).max
