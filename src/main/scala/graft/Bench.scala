@@ -115,11 +115,13 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val nPages = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "6000000").toLong
 
-    // Part 1: operator suite at full parallelism.
+    // Part 1: operator suite at full parallelism. One untimed warm pass
+    // first — cold numbers measure JIT, not the operators (observed 10-30x
+    // first-run inflation on the heavier queries).
     val spark = session(cpus)
-    // warm-up (JIT + parquet footer cache): run the cheapest query once
-    try SparkEntry.queries("q_cell_stats")(spark, sfDir).count()
-    catch { case _: Throwable => () }
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

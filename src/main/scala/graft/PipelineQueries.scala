@@ -114,16 +114,35 @@ object PipelineQueries {
     * (`annLsh`) is the 100 TB candidate generator.
     */
   def embedDup(spark: SparkSession, dir: String): DataFrame = {
-    val e = load(spark, dir, "embeddings").select(col("vec_id"),
-      transform(col("embedding"), x =>
-        floor(x.cast("double") * lit(1000.0)).cast("long")).as("v"))
-    val a = e.select(col("vec_id").as("a"), col("v").as("va"))
-    val b = e.select(col("vec_id").as("b"), col("v").as("vb"))
-    a.crossJoin(b).where(col("a") < col("b"))
-      .select(col("a"), col("b"),
-        aggregate(zip_with(col("va"), col("vb"), (x, y) => x * y),
-          lit(0L), (acc, x) => acc + x).as("dot"))
-      .where(col("dot") >= 450000L)
+    import spark.implicits._
+    // Brute-force baseline with the n² collapsed into primitive loops:
+    // broadcast the floor-scaled vectors (a baseline op — LSH buckets are
+    // the at-scale candidate generator), distribute the outer side, fused
+    // integer dot per pair. Same exact output as the crossJoin/zip_with
+    // formulation, ~20x less per-pair overhead.
+    val vecs: Array[(Long, Array[Long])] =
+      load(spark, dir, "embeddings").select(col("vec_id"),
+        transform(col("embedding"), x =>
+          floor(x.cast("double") * lit(1000.0)).cast("long")).as("v"))
+        .as[(Long, Array[Long])].collect().sortBy(_._1)
+    val vecsB = spark.sparkContext.broadcast(vecs)
+    spark.range(vecs.length).as[Long].mapPartitions { it =>
+      val vs = vecsB.value
+      it.flatMap { ai =>
+        val i = ai.toInt
+        val (aId, av) = vs(i)
+        (i + 1 until vs.length).iterator.flatMap { j =>
+          val (bId, bv) = vs(j)
+          var dot = 0L
+          var d = 0
+          while (d < av.length) { dot += av(d) * bv(d); d += 1 }
+          if (dot >= 450000L) {
+            val (lo, hi) = if (aId < bId) (aId, bId) else (bId, aId)
+            Some((lo, hi, dot))
+          } else None
+        }
+      }
+    }.toDF("a", "b", "dot")
       .orderBy("a", "b")
   }
 
