@@ -435,6 +435,60 @@ object SpatialOps {
       stDistanceSq(col("x"), col("y"), lit(px), lit(py)))
       .where(col("d2") <= r2)
 
+  /** Adaptive cell split — the locality-preserving skew handler for INDEX
+    * BUILDS (SURVEY §4.4; salting is the join-side twin): cells whose
+    * occupancy exceeds `hotThreshold` are re-keyed at a finer resolution
+    * (`grid.res + deltaRes`), so dense urban tiles shatter into spatially
+    * coherent children (range queries over the built index still prune by
+    * geometry — a salt suffix cannot be pruned). Cold cells keep their
+    * coarse id. Partition keys: coarse id shifted left 2·deltaRes bits for
+    * cold cells; fine id tagged with a high bit for hot ones — disjoint key
+    * spaces, no collisions.
+    *
+    * Returns (keyed points, hot-cell count). The same keying function is a
+    * pure function of (x, y, hot set), so probe sides reproduce it exactly.
+    */
+  def adaptiveCellKeys(
+      points: Dataset[PointRow], grid: CellGrid, hotThreshold: Long,
+      deltaRes: Int = 2, maxRes: Int = 14): (DataFrame, Int) = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    // grids by resolution; pkey = (res << 32) | cellId (cell ids fit 2·res
+    // ≤ 28 bits at maxRes 14)
+    val grids: Map[Int, CellGrid] =
+      (grid.res to maxRes).map(r => r -> grid.copy(res = r)).toMap
+    def enc(res: Int, cell: Long): Long = (res.toLong << 32) | cell
+
+    def keyFn(split: Set[Long])(x: Double, y: Double): Long = {
+      var r = grid.res
+      var cell = grids(r).cellId(x, y)
+      while (r + deltaRes <= maxRes && split.contains(enc(r, cell))) {
+        r += deltaRes
+        cell = grids(r).cellId(x, y)
+      }
+      enc(r, cell)
+    }
+
+    var split = Set.empty[Long]
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < 8) {
+      val splitNow = split
+      val hot = points
+        .map(p => keyFn(splitNow)(p.x, p.y))
+        .groupByKey(identity).count()
+        .filter { case (k, n) => n > hotThreshold && (k >> 32) + deltaRes <= maxRes }
+        .map(_._1).collect()
+      if (hot.isEmpty) converged = true
+      else { split ++= hot; rounds += 1 }
+    }
+    val splitFinal = split
+    val keyed = points
+      .map(p => (p.id, p.x, p.y, keyFn(splitFinal)(p.x, p.y)))
+      .toDF("id", "x", "y", "pkey")
+    (keyed, splitFinal.size)
+  }
+
   // ----------------------------------------------------- build / stats C2
 
   /** Stage 1 of the distributed bulk load (C2): cell assignment + per-cell

@@ -271,6 +271,30 @@ class LocalRTreeSpec extends AnyFunSuite {
     }
   }
 
+  test("custom distance function: NN over a line layer uses exact segment " +
+    "distance, not the envelope bound (object.rs:154-200)") {
+    import graft.geom.LineObj
+    val lines = Array.tabulate(200) { i =>
+      val x = uniform(31, 4 * i); val y = uniform(31, 4 * i + 1)
+      LineObj(Array(x, y),
+        Array(x + uniform(31, 4 * i + 2) * 0.2, y + uniform(31, 4 * i + 3) * 0.2))
+    }
+    val t = new LocalRTree[LineObj]().bulkLoad(
+      lines.map(l => Entry(l.envelope, l)))
+    val dist = (e: Entry[LineObj]) => e.value.distance2(QUERIES.head)
+    QUERIES.take(30).foreach { q =>
+      val d = (e: Entry[LineObj]) => e.value.distance2(q)
+      val (got, gd) = t.nearestNeighbor(q, d).get
+      val want = lines.map(_.distance2(q)).min
+      assert(gd == want)
+      assert(got.value.distance2(q) == want)
+      // radius query with the exact metric
+      val r2 = 0.01
+      val hits = t.withinDistance2(q, r2, d).map(_.value).toSet
+      assert(hits == lines.filter(_.distance2(q) <= r2).toSet)
+    }
+  }
+
   test("remove / drain round-trip (removal.rs:257-302, :336-377)") {
     val ps = points(200, seed = 11)
     val t = pointTree(ps)

@@ -53,6 +53,40 @@ class SkewSpec extends AnyFunSuite {
     assert(plain.nonEmpty)
   }
 
+  test("adaptive cell split: recursive re-keying bounds occupancy, keys " +
+    "stay spatially coherent, cold cells untouched") {
+    import spark.implicits._
+    val pts = skewedPoints(6000, 300)
+      .map(r => PointRow(r.id, r.minX, r.minY))
+    val (keyed, nSplit) = SpatialOps.adaptiveCellKeys(pts, grid,
+      hotThreshold = 500, deltaRes = 2)
+    assert(nSplit >= 1, "fixture should force at least one split")
+    val byKey = keyed.groupBy("pkey").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // total preserved
+    assert(byKey.map(_._2).sum == 6000)
+    // occupancy bounded: recursion stops only at the threshold or maxRes;
+    // a 0.5°-wide urban disc needs several rounds to shatter
+    val rawMax = pts.toDF()
+      .withColumn("coarse", graft.functions.SpatialFunctions.stCell(grid)(
+        col("x"), col("y")))
+      .groupBy("coarse").count().agg(org.apache.spark.sql.functions.max("count"))
+      .collect()(0).getLong(0)
+    val splitMax = byKey.map(_._2).max
+    assert(rawMax > 3000, s"fixture not skewed: $rawMax")
+    assert(splitMax <= 500, s"occupancy above threshold after split: $splitMax")
+    // spatial coherence: each point's key is exactly the cell of its
+    // encoded resolution (a pure function of coordinates)
+    keyed.collect().foreach { r =>
+      val key = r.getLong(3)
+      val res = (key >> 32).toInt
+      val fine = grid.copy(res = res)
+      assert((key & 0xffffffffL) == fine.cellId(r.getDouble(1), r.getDouble(2)))
+    }
+    // cold cells keep the coarse resolution
+    assert(byKey.exists(k => (k._1 >> 32).toInt == grid.res))
+  }
+
   test("salting actually splits the hot cell across many co-partition keys") {
     import spark.implicits._
     val l = skewedPoints(4000, 100)
