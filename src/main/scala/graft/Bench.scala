@@ -152,11 +152,9 @@ object Bench {
       nEnt / sec / 1e6 // M entity-rows/s through join+kNN
     }
     spark.stop()
-    // best-of-2 per level: single-box runs carry GC/disk noise; capability,
-    // not luck, is what the scaling criterion is about.
-    // Max-of-3 per level, lo/hi INTERLEAVED: single-box runs carry 2-3x
-    // GC/IO noise spikes and minutes-scale drift; interleaving exposes both
-    // levels to the same conditions, max estimates capability.
+    // Max per level over lo/hi INTERLEAVED pairs: single-box runs carry
+    // 2-3x GC/IO noise spikes and minutes-scale drift; interleaving exposes
+    // both levels to the same conditions, max estimates capability.
     run(hiN, warm = true) // JVM-wide JIT warm-up, untimed
     val pairs = (1 to 2).map { _ =>
       (run(loN, warm = false), run(hiN, warm = false))

@@ -175,6 +175,28 @@ class SpatialOpsSpec extends AnyFunSuite {
       case (i, x, y) if x * x + y * y <= 900.0 => i }.toSet)
   }
 
+  test("typed envelope aggregator matches column min/max per group; " +
+    "empty-box convention holds") {
+    val s = sc
+    import s.implicits._
+    import graft.functions.EnvelopeAggregator
+    val g = grid // local copy: closures must not capture the suite instance
+    val p = points(1000, 9000)
+    val byCell = p.groupByKey(r => g.cellId(r.x, r.y))
+      .mapValues(r => (r.x, r.y))
+      .agg(EnvelopeAggregator.toColumn)
+      .collect().toMap
+    val oracle = p.collect().groupBy(r => g.cellId(r.x, r.y)).map {
+      case (c, rs) => c -> (rs.map(_.x).min, rs.map(_.y).min,
+        rs.map(_.x).max, rs.map(_.y).max)
+    }
+    assert(byCell == oracle)
+    // zero is the reference empty box: merge identity
+    val z = EnvelopeAggregator.zero
+    assert(EnvelopeAggregator.toAABB(z).isEmpty)
+    assert(EnvelopeAggregator.merge(z, (1.0, 2.0, 3.0, 4.0)) == (1.0, 2.0, 3.0, 4.0))
+  }
+
   test("cellStats: counts sum to row count; envelopes inside cell boxes") {
     val s = sc
     import s.implicits._
