@@ -134,6 +134,22 @@ class SpatialOpsSpec extends AnyFunSuite {
       .select("id").collect().map(_.getLong(0)).toSet == Set(0L, 1L, 2L, 3L))
   }
 
+  test("knnJoin plan shape: top-k pushes below the shuffle (WindowGroupLimit) " +
+    "and the probe joins are hash joins") {
+    val s = sc
+    import s.implicits._
+    val data = points(2000, 4000)
+    val queries = s.range(60).map(i =>
+      QueryRow(i, uniform(i + 99, 1) * 360.0 - 180.0,
+        uniform(i + 99, 2) * 170.0 - 85.0))
+    val plan = SpatialOps.knnJoin(queries, data, 5, grid)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"top-k not pushed below the shuffle:\n$plan")
+    assert(plan.contains("HashJoin"), "probe join is not a hash join")
+    assert(!plan.contains("NestedLoop"), "nested loop in the kNN plan")
+  }
+
   test("knnJoin with k > |data| returns all data per query") {
     val s = sc
     import s.implicits._
