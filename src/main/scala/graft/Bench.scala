@@ -122,10 +122,14 @@ object Bench {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
+    // A failing query must surface as a failure, not as a (fast) timing
+    // that silently masks the regression in the suite total.
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true }
+        catch { case _: Throwable => failed += name; false }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
 
     // Part 2: headline throughput at cpus/4 and cpus over the SAME
@@ -152,25 +156,38 @@ object Bench {
       nEnt / sec / 1e6 // M entity-rows/s through join+kNN
     }
     spark.stop()
-    // Max per level over lo/hi INTERLEAVED pairs: single-box runs carry
-    // 2-3x GC/IO noise spikes and minutes-scale drift; interleaving exposes
-    // both levels to the same conditions, max estimates capability.
+    // Scaling protocol: 4 INTERLEAVED (lo, hi) pairs, efficiency computed
+    // per pair, MEDIAN of the pair efficiencies reported. Rationale: this
+    // shared box carries 2-3x GC/IO noise spikes plus minutes-scale drift;
+    // interleaving exposes both legs of a pair to the same conditions, so
+    // the per-pair ratio cancels correlated drift, and the median discards
+    // the pairs where an uncorrelated spike hit only one leg. (Round-1 used
+    // max-of-2-per-level, which let one slow hi leg sink the ratio.)
     run(hiN, warm = true) // JVM-wide JIT warm-up, untimed
-    val pairs = (1 to 2).map { _ =>
+    val nPairs = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAIRS", "4").toInt
+    val pairs = (1 to nPairs).map { _ =>
       (run(loN, warm = false), run(hiN, warm = false))
     }
-    val tputLo = pairs.map(_._1).max
-    val tputHi = pairs.map(_._2).max
-    val tputPeak = math.max(tputHi,
-      (1 to 2).map(_ => run(peakN, warm = false)).max)
-    val eff = tputHi / (tputLo * (hiN.toDouble / loN))
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
+    val tputLo = median(pairs.map(_._1))
+    val tputHi = median(pairs.map(_._2))
+    val effs = pairs.map { case (lo, hi) => hi / (lo * (hiN.toDouble / loN)) }
+    val eff = median(effs)
+    // Peak is a capability number: max over the hi legs + one full-width run.
+    val tputPeak = math.max(pairs.map(_._2).max, run(peakN, warm = false))
 
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.filter(_._2 >= 0).map(_._2).sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val effsJson = effs.map(e => f"$e%.3f").mkString("[", ",", "]")
     val scaling =
-      f"""{"cores_lo":$loN,"cores_hi":$hiN,"mrows_s_lo":$tputLo%.4f,"mrows_s_hi":$tputHi%.4f,"efficiency":$eff%.3f,"peak_cores":$peakN,"mrows_s_peak":$tputPeak%.4f,"pages":$nPages}"""
+      f"""{"cores_lo":$loN,"cores_hi":$hiN,"mrows_s_lo":$tputLo%.4f,"mrows_s_hi":$tputHi%.4f,"efficiency":$eff%.3f,"pair_efficiencies":$effsJson,"peak_cores":$peakN,"mrows_s_peak":$tputPeak%.4f,"pages":$nPages}"""
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","throughput_mrows_s":$tputPeak%.4f,"scaling":$scaling}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","throughput_mrows_s":$tputPeak%.4f,"scaling":$scaling}""")
   }
 }

@@ -21,10 +21,15 @@ object TpchGeo {
   val P = 1000003L
   val PW = 997L
 
+  // Reduce the key mod P BEFORE multiplying (identical value by modular
+  // arithmetic, since (k·m) mod P = ((k mod P)·m) mod P): keeps the product
+  // ≤ (P-1)·M3 ≈ 1.1e18 < Long.MaxValue for ANY key, where the unreduced
+  // form silently wraps in Spark / errors in DuckDB past key ≈ 3.5e9
+  // (large scale factors).
   private def frac(key: Column, m: Long): Column =
-    (key * lit(m) % lit(P)) / lit(P.toDouble)
+    (key % lit(P) * lit(m) % lit(P)) / lit(P.toDouble)
   private def fracSql(key: String, m: Long): String =
-    s"(($key * $m % $P) / $P.0)"
+    s"(($key % $P * $m % $P) / $P.0)"
 
   /** Point coordinates for a key column (data side). */
   def px(key: Column): Column = frac(key, M1) * lit(360.0) - lit(180.0)
@@ -42,13 +47,13 @@ object TpchGeo {
   def rMinX(key: Column): Column = frac(key, M1) * lit(350.0) - lit(180.0)
   def rMinY(key: Column): Column = frac(key, M2) * lit(160.0) - lit(85.0)
   def rW(key: Column): Column =
-    (key * lit(M3) % lit(PW)) / lit(PW.toDouble) * lit(10.0)
+    (key % lit(PW) * lit(M3) % lit(PW)) / lit(PW.toDouble) * lit(10.0)
   def rH(key: Column): Column =
-    (key * lit(M4) % lit(PW)) / lit(PW.toDouble) * lit(10.0)
+    (key % lit(PW) * lit(M4) % lit(PW)) / lit(PW.toDouble) * lit(10.0)
   def rMinXSql(key: String): String = s"(${fracSql(key, M1)} * 350.0 - 180.0)"
   def rMinYSql(key: String): String = s"(${fracSql(key, M2)} * 160.0 - 85.0)"
-  def rWSql(key: String): String = s"(($key * $M3 % $PW) / $PW.0 * 10.0)"
-  def rHSql(key: String): String = s"(($key * $M4 % $PW) / $PW.0 * 10.0)"
+  def rWSql(key: String): String = s"(($key % $PW * $M3 % $PW) / $PW.0 * 10.0)"
+  def rHSql(key: String): String = s"(($key % $PW * $M4 % $PW) / $PW.0 * 10.0)"
 
   /** SQL CTE body producing (id, min_x, min_y, max_x, max_y) rects. */
   def rectsSql(table: String, key: String): String =

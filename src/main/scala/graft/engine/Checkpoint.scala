@@ -94,11 +94,25 @@ final class Checkpoint(spark: SparkSession, root: String) {
       .select(lit(stage).as("stage"), lit(g).as("grp"), col("rows"),
         col("min_x"), col("min_y"), col("max_x"), col("max_y"),
         lit(wallMs).as("wall_ms"),
-        lit(java.time.Instant.now().toString).as("committed_at"))
+        lit(java.time.Instant.now().toString).as("committed_at"),
+        // attempt id: a crash between lineage append and marker creation
+        // makes resume recompute the group and append a second row;
+        // lineage() keeps only the latest attempt per (stage, grp) so
+        // metrics never double-count.
+        lit(System.nanoTime()).as("attempt"))
       .write.mode(SaveMode.Append).parquet(s"$root/_lineage")
   }
 
-  def lineage(): DataFrame = spark.read.parquet(s"$root/_lineage")
+  /** One row per (stage, grp): the latest attempt only (earlier attempts of
+    * a group whose commit marker never landed are superseded, not summed).
+    */
+  def lineage(): DataFrame = {
+    val raw = spark.read.parquet(s"$root/_lineage")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("stage", "grp").orderBy(col("attempt").desc)
+    raw.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).drop("__rn")
+  }
 
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {

@@ -302,8 +302,11 @@ object SpatialOps {
 
     val dataCelled = data.map(p => (grid.cellId(p.x, p.y), p))
     // Per-cell histogram: map-side-combined groupBy; bounded by 4^res cells.
-    val hist: Map[Long, Long] =
-      dataCelled.groupByKey(_._1).count().collect().toMap
+    // Collected ONCE — broadcast for pass A's ring expansion and re-created
+    // driver-side as a small DataFrame for the safe-query join below.
+    val histRows: Array[(Long, Long)] =
+      dataCelled.groupByKey(_._1).count().collect()
+    val hist: Map[Long, Long] = histRows.toMap
     val histB = spark.sparkContext.broadcast(hist)
 
     // Per-cell probe: cogroup queries with data by cell, bulk-load a packed
@@ -352,10 +355,14 @@ object SpatialOps {
       if (keepTies) rank().over(Window.partitionBy("qid").orderBy(col("d2")))
       else row_number().over(wAsc)
 
+    // localCheckpoint (eager): topA feeds both the dUp bound and the safe-
+    // query result without recompute; unlike cache() the blocks are
+    // reference-counted and reclaimed by the ContextCleaner as soon as the
+    // returned plan is no longer referenced — no standing unpersist leak.
     val topA = probe(candA).toDF("qid", "id", "d2")
       .withColumn("rn", rankCol)
       .where(col("rn") <= k)
-      .cache()
+      .localCheckpoint(true)
     val dUp = topA.groupBy("qid")
       .agg(max("d2").as("dUp"), count(lit(1)).as("got"))
 
@@ -367,7 +374,7 @@ object SpatialOps {
     val n = grid.cellsPerAxis
     val cw = (grid.maxX - grid.minX) / n
     val ch = (grid.maxY - grid.minY) / n
-    val histDf = dataCelled.groupByKey(_._1).count().toDF("cell", "cnt")
+    val histDf = histRows.toSeq.toDF("cell", "cnt")
     val qinfo = queries.toDF("qid", "qx", "qy")
       .withColumn("cell", stCell(grid)(col("qx"), col("qy")))
       .join(broadcast(histDf), Seq("cell"), "left")
@@ -378,7 +385,12 @@ object SpatialOps {
     val border = least(
       col("qx") - exLo, exLo + cw - col("qx"),
       col("qy") - eyLo, eyLo + ch - col("qy"))
-    val safeFlag = col("cnt") >= k && col("dUp") < border * border
+    // Shrink the safe test by an ulp-scale epsilon: `exLo = minX + ix*cw`
+    // can differ by ulps from the floor((x-minX)/extent*n) boundary stCell
+    // uses, so a disc a few ulps from the cell edge must NOT be classified
+    // safe (it would skip pass B and could return a non-exact neighbor).
+    val safeFlag =
+      col("cnt") >= k && col("dUp") < border * border * lit(1.0 - 1e-9)
     val safeQ = qinfo.where(safeFlag).select("qid")
     val unsafeQ = qinfo.where(!safeFlag || col("dUp").isNull)
       .select(col("qid"), col("qx"), col("qy"), col("dUp"))

@@ -90,23 +90,12 @@ final case class CellGrid(
     out.toSeq
   }
 
-  /** Lower bound on squared distance from `p` to any point of cell `id`. */
+  /** Lower bound on squared distance from `p` to any point of cell `id`.
+    * (kNN termination does not need a per-ring bound: pass A stops at
+    * cum ≥ k and pass B covers the exact d_up disc — see SpatialOps.knnJoin.)
+    */
   def minDist2(id: Long, px: Double, py: Double): Double =
     cellBox(id).distance2(Array(px, py))
-
-  /** Minimum possible squared distance to any cell on ring `r` around the
-    * cell containing (px, py): (r-1) full cell-widths in the best case.
-    * Used to prove kNN ring-expansion termination (SURVEY §7.4): once the
-    * current k-th best distance is below this bound, no farther ring can
-    * improve the answer.
-    */
-  def ringMinDist2(px: Double, py: Double, r: Int): Double = {
-    if (r == 0) return 0.0
-    val cw = width / cellsPerAxis
-    val ch = height / cellsPerAxis
-    val d = (r - 1).toDouble * math.min(cw, ch)
-    d * d
-  }
 }
 
 object CellGrid {

@@ -28,6 +28,17 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   *
   * Config: `spark.graft.spatialJoin.res` (grid resolution, default 4),
   * `spark.graft.spatialJoin.enabled` (default true).
+  *
+  * Domain note: the matcher is purely syntactic, so with GraftExtensions
+  * installed the rule fires on ANY inner join in the 4-comparison
+  * double-interval shape (e.g. interval-overlap joins over epoch seconds).
+  * Results stay correct — the original predicate is kept — but values
+  * outside the lon/lat domain all clamp to one border cell, degrading the
+  * rewrite to a single-key hash join plus Generate overhead. Sessions whose
+  * double-interval joins are not lon/lat-shaped should set
+  * `spark.graft.spatialJoin.enabled=false` (or scope the extension to
+  * spatial sessions); a value-aware gate is impossible at plan time, since
+  * the optimizer sees expressions, not data.
   */
 object SpatialJoinRewrite extends Rule[LogicalPlan] {
 
