@@ -3,17 +3,79 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.functions.OracleHash
 import graft.pipeline.{MediaOps, PipelineOps}
 import TpchGeo.load
 
 /** Training-data-pipeline operators exposed through SparkEntry, over the
-  * driver's `documents` / `embeddings` / `events` tables. Oracle-carrying
-  * entries use integer-exact or IEEE-exact arithmetic only; hash-dependent
-  * scale paths (MinHash/SimHash/LSH — xxhash64 has no DuckDB twin) are
-  * checked rows-only by the driver and cross-checked against their exact
-  * counterparts in PipelineSpec.
+  * driver's `documents` / `embeddings` / `events` tables. EVERY entry now
+  * carries a DuckDB oracle: the hash-dependent scale paths
+  * (MinHash/SimHash/vector-LSH) run on OracleHash's 31-bit modular
+  * arithmetic, whose SQL twins are generated here from the same constants,
+  * so the driver hash-compares them bit-exactly (round 1 left them
+  * rows-only on xxhash64).
   */
 object PipelineQueries {
+
+  // ------------------------------------------------- SQL twin generators
+
+  /** CTE chain producing minhash-LSH verified near-dup `<p>pairs` (a, b,
+    * jac) over `srcTable` — the SQL twin of PipelineOps.minhashLshPairs,
+    * generated from the same OracleHash constants. `p` prefixes the CTE
+    * names so two instantiations can coexist in one query.
+    */
+  def minhashPairsCtes(srcTable: String, numPerms: Int, bands: Int,
+      threshold: Double, p: String): String = {
+    val rows = numPerms / bands
+    val sigCols = (0 until numPerms).map(i =>
+      s"MIN(${OracleHash.affineSql("sh31", OracleHash.permA(i), OracleHash.permB(i))}) AS h$i")
+      .mkString(",\n    ")
+    val bandSelects = (0 until bands).map { b =>
+      val bh = OracleHash.combine62Sql((0 until rows).map(r => s"h${b * rows + r}"))
+      s"SELECT doc_id, $b AS band, $bh AS band_hash FROM ${p}sig"
+    }.mkString("\n    UNION ALL ")
+    s"""${p}t AS (SELECT doc_id, string_split(text, ' ') AS l FROM $srcTable
+       |           WHERE len(string_split(text, ' ')) >= 3),
+       |${p}sh AS (SELECT DISTINCT doc_id,
+       |  unnest(list_transform(range(1, len(l) - 1),
+       |    i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS shingle FROM ${p}t),
+       |${p}shh AS (SELECT doc_id, shingle,
+       |  ${OracleHash.polyHash31Sql("shingle")} AS sh31 FROM ${p}sh),
+       |${p}sig AS (SELECT doc_id,
+       |    $sigCols
+       |  FROM ${p}shh GROUP BY doc_id),
+       |${p}bands AS (
+       |    $bandSelects),
+       |${p}cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM ${p}bands x JOIN ${p}bands y
+       |  ON x.band = y.band AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id),
+       |${p}cnt AS (SELECT doc_id, COUNT(*) AS n FROM ${p}sh GROUP BY doc_id),
+       |${p}inter AS (SELECT c.a, c.b, COUNT(*) AS cc FROM ${p}cand c
+       |  JOIN ${p}sh sa ON sa.doc_id = c.a
+       |  JOIN ${p}sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+       |  GROUP BY c.a, c.b),
+       |${p}pairs AS (SELECT i.a, i.b,
+       |  CAST(i.cc AS DOUBLE) / (ca.n + cb.n - i.cc) AS jac
+       |  FROM ${p}inter i JOIN ${p}cnt ca ON ca.doc_id = i.a
+       |  JOIN ${p}cnt cb ON cb.doc_id = i.b
+       |  WHERE CAST(i.cc AS DOUBLE) / (ca.n + cb.n - i.cc) >= $threshold)""".stripMargin
+  }
+
+  /** SQL for the table-`t`, `nBits`-bit LSH bucket of `vecCol` (float
+    * array) — the twin of PipelineOps.bucketCol, hyperplane constants
+    * rendered as exact double literals.
+    */
+  def bucketSql(vecCol: String, nBits: Int, table: Int, dims: Int = 64): String = {
+    val bits = (0 until nBits).map { j =>
+      val cs = OracleHash.hyperplane(table, j, dims)
+        .map(OracleHash.dbl).mkString("[", ", ", "]::DOUBLE[]")
+      val fold = s"list_reduce(list_prepend(0.0::DOUBLE, " +
+        s"list_transform(list_zip($vecCol, $cs), " +
+        s"p -> CAST(p[1] AS DOUBLE) * p[2])), (a, x) -> a + x)"
+      s"CASE WHEN $fold >= 0 THEN ${1L << j} ELSE 0 END"
+    }
+    "CAST(" + bits.mkString("(", " + ", ")") + " AS BIGINT)"
+  }
 
   // ------------------------------------------------------------- dedup
 
@@ -47,17 +109,61 @@ object PipelineQueries {
     PipelineOps.minhashLshPairs(load(spark, dir, "documents"), 3, 0.7)
       .orderBy("a", "b")
 
+  val minhashDupSql: String =
+    s"""WITH ${minhashPairsCtes("documents", 16, 4, 0.7, "m_")}
+       |SELECT a, b, jac FROM m_pairs ORDER BY a, b""".stripMargin
+
   def simhash(spark: SparkSession, dir: String): DataFrame =
     PipelineOps.simhash(load(spark, dir, "documents")).orderBy("doc_id")
 
-  /** Composed corpus cleaner (rows-only check: the near-dup stage is
-    * xxhash-based). Deterministic output ordering by doc_id.
+  val simhashSql: String = {
+    val (a1, b1) = PipelineOps.simhashPermHi
+    val (a2, b2) = PipelineOps.simhashPermLo
+    def votes(g: String, tag: String) = (0 until 31).map(b =>
+      s"SUM(CASE WHEN (($g >> $b) & 1) = 1 THEN 1 ELSE -1 END) AS $tag$b")
+      .mkString(",\n    ")
+    def pack(tag: String) = (0 until 31).map(b =>
+      s"CASE WHEN $tag$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |             FROM documents),
+       |h AS (SELECT doc_id, ${OracleHash.polyHash31Sql("tok")} AS ph FROM tok),
+       |g AS (SELECT doc_id, ${OracleHash.affineSql("ph", a1, b1)} AS g1,
+       |  ${OracleHash.affineSql("ph", a2, b2)} AS g2 FROM h),
+       |v AS (SELECT doc_id,
+       |    ${votes("g1", "a")},
+       |    ${votes("g2", "c")}
+       |  FROM g GROUP BY doc_id)
+       |SELECT doc_id, CAST((${pack("a")}) * ${OracleHash.SHIFT31}
+       |  + (${pack("c")}) AS BIGINT) AS simhash
+       |FROM v ORDER BY doc_id""".stripMargin
+  }
+
+  /** Composed corpus cleaner. Deterministic output ordering by doc_id;
+    * full DuckDB twin now that the near-dup stage is OracleHash-based.
     */
   def cleanCorpus(spark: SparkSession, dir: String): DataFrame =
     PipelineOps.cleanCorpus(load(spark, dir, "documents"),
       langs = Seq("en", "de", "fr", "es"))
       .select("doc_id", "lang", "n_chars")
       .orderBy("doc_id")
+
+  val cleanCorpusSql: String =
+    s"""WITH keep AS (SELECT MIN(doc_id) AS doc_id FROM documents
+       |              GROUP BY md5(text)),
+       |d1 AS (SELECT d.* FROM documents d JOIN keep USING (doc_id)),
+       |${minhashPairsCtes("d1", 32, 8, 0.9, "c_")},
+       |losers AS (SELECT DISTINCT b AS doc_id FROM c_pairs),
+       |d2 AS (SELECT * FROM d1 WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
+       |qual AS (SELECT doc_id,
+       |    CAST(LENGTH(text) AS BIGINT) AS chars,
+       |    CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) AS BIGINT) AS spaces
+       |  FROM d2),
+       |g AS (SELECT doc_id FROM qual
+       |  WHERE chars >= 50 AND spaces + 1 >= 8
+       |    AND CAST(chars - spaces AS DOUBLE) / (spaces + 1) <= 12.0)
+       |SELECT d2.doc_id, d2.lang, d2.n_chars FROM d2 JOIN g USING (doc_id)
+       |WHERE d2.lang IN ('en', 'de', 'fr', 'es')
+       |ORDER BY doc_id""".stripMargin
 
   // --------------------------------------------------------- text stats
 
@@ -86,6 +192,26 @@ object PipelineQueries {
   def langId(spark: SparkSession, dir: String): DataFrame =
     PipelineOps.langId(load(spark, dir, "documents")).orderBy("doc_id")
 
+  val langIdSql: String = {
+    def score(lang: String): String = {
+      val set = PipelineOps.langProfiles(lang).toSeq.sorted
+        .map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(string_split(text, ' '), t -> t IN ($set)))"
+    }
+    val langs = PipelineOps.langProfiles.keys.toSeq.sorted // de, en, es, fr
+    val scores = langs.map(l => s"${score(l)} AS s_$l").mkString(",\n  ")
+    val desc = langs.reverse // ties break to the greatest language
+    val caseChain = desc.init.map(l => s"WHEN s_$l = m THEN '$l'")
+      .mkString(" ") + s" ELSE '${desc.last}'"
+    s"""WITH s AS (SELECT doc_id,
+       |  $scores
+       |  FROM documents),
+       |g AS (SELECT doc_id, ${langs.map(l => s"s_$l").mkString(", ")},
+       |  GREATEST(${langs.map(l => s"s_$l").mkString(", ")}) AS m FROM s)
+       |SELECT doc_id, CASE $caseChain END AS pred_lang
+       |FROM g ORDER BY doc_id""".stripMargin
+  }
+
   // --------------------------------------------------------------- ANN
 
   def annTopK(spark: SparkSession, dir: String): DataFrame =
@@ -110,41 +236,14 @@ object PipelineQueries {
   /** Embedding-cosine near-duplicate pairs, integer-exact: pairs (a < b)
     * whose floor-scaled dot product clears the threshold (the int dot is a
     * monotone proxy for cosine on these unit-ish vectors; the float-cosine
-    * variant is `annCosine`). Brute force here; the LSH-bucketed path
-    * (`annLsh`) is the 100 TB candidate generator.
+    * variant is `annCosine`). Distributed block-pair exact join — nothing
+    * is collected to the driver (see PipelineOps.embedDupPairs for why an
+    * exact cos≈0.45 threshold join is inherently quadratic and why LSH
+    * candidates cannot prune it on this corpus).
     */
-  def embedDup(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    // Brute-force baseline with the n² collapsed into primitive loops:
-    // broadcast the floor-scaled vectors (a baseline op — LSH buckets are
-    // the at-scale candidate generator), distribute the outer side, fused
-    // integer dot per pair. Same exact output as the crossJoin/zip_with
-    // formulation, ~20x less per-pair overhead.
-    val vecs: Array[(Long, Array[Long])] =
-      load(spark, dir, "embeddings").select(col("vec_id"),
-        transform(col("embedding"), x =>
-          floor(x.cast("double") * lit(1000.0)).cast("long")).as("v"))
-        .as[(Long, Array[Long])].collect().sortBy(_._1)
-    val vecsB = spark.sparkContext.broadcast(vecs)
-    spark.range(vecs.length).as[Long].mapPartitions { it =>
-      val vs = vecsB.value
-      it.flatMap { ai =>
-        val i = ai.toInt
-        val (aId, av) = vs(i)
-        (i + 1 until vs.length).iterator.flatMap { j =>
-          val (bId, bv) = vs(j)
-          var dot = 0L
-          var d = 0
-          while (d < av.length) { dot += av(d) * bv(d); d += 1 }
-          if (dot >= 450000L) {
-            val (lo, hi) = if (aId < bId) (aId, bId) else (bId, aId)
-            Some((lo, hi, dot))
-          } else None
-        }
-      }
-    }.toDF("a", "b", "dot")
+  def embedDup(spark: SparkSession, dir: String): DataFrame =
+    PipelineOps.embedDupPairs(load(spark, dir, "embeddings"), 450000L)
       .orderBy("a", "b")
-  }
 
   val embedDupSql: String =
     """WITH e AS (SELECT vec_id,
@@ -160,8 +259,84 @@ object PipelineQueries {
     PipelineOps.annCosine(load(spark, dir, "embeddings"), nQueries = 10, k = 10)
       .orderBy("qid", "rn")
 
+  /** Float path oracle: +, *, /, sqrt are all IEEE-correctly-rounded, and
+    * both engines fold the array in identical textual order (Spark
+    * `aggregate` left-fold ≡ DuckDB `list_reduce` with a prepended init),
+    * so even the double cosines hash-match bit-exactly.
+    */
+  val annCosineSql: String = {
+    val sq = "list_reduce(list_prepend(0.0::DOUBLE, list_transform(" +
+      "embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, x) -> a + x)"
+    val dot = "list_reduce(list_prepend(0.0::DOUBLE, list_transform(" +
+      "list_zip(q.embedding, d.embedding), " +
+      "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (a, x) -> a + x)"
+    s"""WITH n AS (SELECT vec_id, embedding, sqrt($sq) AS nrm FROM embeddings),
+       |j AS (SELECT q.vec_id AS qid, d.vec_id AS id,
+       |  $dot / (q.nrm * d.nrm) AS cos
+       |  FROM n q CROSS JOIN n d WHERE q.vec_id < 10),
+       |r AS (SELECT qid, id, cos,
+       |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rn FROM j)
+       |SELECT qid, id, cos, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= 10
+       |ORDER BY qid, rn""".stripMargin
+  }
+
   def annLsh(spark: SparkSession, dir: String): DataFrame =
     PipelineOps.annLshBuckets(load(spark, dir, "embeddings")).orderBy("vec_id")
+
+  val annLshSql: String =
+    s"""SELECT vec_id, ${bucketSql("embedding", 8, 0)} AS bucket
+       |FROM embeddings ORDER BY vec_id""".stripMargin
+
+  /** EXACT IVF-pruned top-k — bit-identical to the brute-force `annTopK`,
+    * so it reuses that oracle (recall is 1.0 by construction).
+    */
+  def annIvf(spark: SparkSession, dir: String): DataFrame =
+    PipelineOps.annIvfTopK(load(spark, dir, "embeddings"), nQueries = 10,
+      k = 10, nClusters = 32)
+      .orderBy("qid", "rn")
+
+  /** Multiprobe LSH bucketed top-k, end-to-end, with its own exact SQL
+    * twin (the LSH result is deterministic, so the oracle replicates the
+    * bucket → probe → top-k semantics, not the brute-force answer).
+    */
+  def annLshTopK(spark: SparkSession, dir: String): DataFrame =
+    PipelineOps.annLshTopK(load(spark, dir, "embeddings"), nQueries = 10,
+      k = 10)
+      .orderBy("qid", "rn")
+
+  val annLshTopKSql: String = {
+    val tables = 4
+    val intv = "list_transform(embedding, x -> " +
+      "CAST(FLOOR(CAST(x AS DOUBLE) * 1000.0) AS BIGINT))"
+    val bucketCols = (0 until tables).map(t =>
+      s"${bucketSql("embedding", 8, t)} AS b$t").mkString(",\n  ")
+    def caseT(qual: String): String =
+      "CASE tt.t " + (0 until tables - 1).map(t =>
+        s"WHEN $t THEN ${qual}b$t").mkString(" ") + s" ELSE ${qual}b${tables - 1} END"
+    val tvals = (0 until tables).map(t => s"($t)").mkString(", ")
+    val masks = (0 until 256).filter(m => Integer.bitCount(m) <= 2)
+      .map(m => s"$m::BIGINT").mkString(", ")
+    s"""WITH b AS (SELECT vec_id, $intv AS v,
+       |  $bucketCols
+       |  FROM embeddings),
+       |d AS (SELECT tt.t AS t, ${caseT("")} AS bucket, vec_id AS id, v
+       |  FROM b, (VALUES $tvals) tt(t)),
+       |p AS (SELECT q.vec_id AS qid, tt.t AS t,
+       |    xor(${caseT("q.")}, mm.m) AS bucket
+       |  FROM b q, (VALUES $tvals) tt(t),
+       |    (SELECT unnest([$masks]) AS m) mm
+       |  WHERE q.vec_id < 10),
+       |c AS (SELECT DISTINCT p.qid, d.id FROM p
+       |  JOIN d ON d.t = p.t AND d.bucket = p.bucket),
+       |j AS (SELECT c.qid, c.id,
+       |  CAST(list_sum(list_transform(list_zip(qq.v, dd.v),
+       |    p -> p[1] * p[2])) AS BIGINT) AS dot
+       |  FROM c JOIN b qq ON qq.vec_id = c.qid JOIN b dd ON dd.vec_id = c.id),
+       |r AS (SELECT qid, id, dot,
+       |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot DESC, id) AS rn FROM j)
+       |SELECT qid, id, dot, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= 10
+       |ORDER BY qid, rn""".stripMargin
+  }
 
   // ------------------------------------------------------------- events
 

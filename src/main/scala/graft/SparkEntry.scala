@@ -41,6 +41,8 @@ object SparkEntry {
     "q_text_quality" -> (PipelineQueries.textQuality(_, _)),
     "q_lang_id" -> (PipelineQueries.langId(_, _)),
     "q_ann_topk" -> (PipelineQueries.annTopK(_, _)),
+    "q_ann_ivf" -> (PipelineQueries.annIvf(_, _)),
+    "q_ann_lsh_topk" -> (PipelineQueries.annLshTopK(_, _)),
     "q_ann_cosine" -> (PipelineQueries.annCosine(_, _)),
     "q_ann_lsh" -> (PipelineQueries.annLsh(_, _)),
     "q_events_window" -> (PipelineQueries.eventsWindow(_, _)),
@@ -65,13 +67,22 @@ object SparkEntry {
     "q_drain_remainder" -> Queries.drainRemainderSql,
     "q_envelope_agg" -> Queries.envelopeAggSql,
     "q_line_nearest" -> Queries.lineNearestSql,
-    // pipeline oracles (hash-based scale paths have no SQL twin → rows-only)
+    // pipeline oracles — every query carries one: the hash-based scale
+    // paths run on OracleHash arithmetic with generated SQL twins
     "q_dedup_exact" -> PipelineQueries.dedupExactSql,
     "q_embed_dup" -> PipelineQueries.embedDupSql,
     "q_ngram_dup" -> PipelineQueries.ngramDupSql,
+    "q_minhash_dup" -> PipelineQueries.minhashDupSql,
+    "q_simhash" -> PipelineQueries.simhashSql,
+    "q_clean_corpus" -> PipelineQueries.cleanCorpusSql,
+    "q_lang_id" -> PipelineQueries.langIdSql,
     "q_token_stats" -> PipelineQueries.tokenStatsSql,
     "q_text_quality" -> PipelineQueries.textQualitySql,
     "q_ann_topk" -> PipelineQueries.annTopKSql,
+    "q_ann_ivf" -> PipelineQueries.annTopKSql, // exact: same answer as brute force
+    "q_ann_lsh_topk" -> PipelineQueries.annLshTopKSql,
+    "q_ann_cosine" -> PipelineQueries.annCosineSql,
+    "q_ann_lsh" -> PipelineQueries.annLshSql,
     "q_events_window" -> PipelineQueries.eventsWindowSql,
     "q_media_meta" -> PipelineQueries.mediaMetaSql
   )

@@ -54,18 +54,40 @@ object PipelineOps {
   }
 
   /** Exact n-gram Jaccard near-duplicate pairs (a < b, J ≥ threshold):
-    * shingle equi-join → per-pair intersection count → |A∪B| by inclusion-
-    * exclusion. No cross join anywhere; the shuffle key is the shingle.
+    * candidate pairs from a shingle equi-join RESTRICTED to shingles with
+    * document frequency ≤ maxShingleDf, then the exact intersection count
+    * (over ALL shingles, hot ones included) and |A∪B| by inclusion-
+    * exclusion for just those candidates. No cross join anywhere; the
+    * shuffle key is the shingle.
+    *
+    * The df cap is the skew guard: an uncapped shingle self-join emits df²
+    * candidate rows per shingle, so at web scale one stop-trigram shared by
+    * f documents is an f²-row hot key. Capping candidate GENERATION keeps
+    * the join bounded at maxShingleDf² rows per shingle while the verify
+    * join restores exact Jaccard values; a J ≥ threshold pair is only ever
+    * missed if EVERY shared shingle is hotter than the cap — at J ≥ 0.7 a
+    * pair shares most of its shingles, so any realistic cap (default 128,
+    * ~10x the hottest df in the driver tables) keeps the result exact
+    * while a pathological repeated trigram stays bounded (SkewSpec).
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3,
-      threshold: Double = 0.7): DataFrame = {
-    val sh = shingles(docs, n).cache()
+      threshold: Double = 0.7, maxShingleDf: Int = 128): DataFrame = {
+    val sh = shingles(docs, n)
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = sh.as("a").join(sh.as("b"),
+    val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxShingleDf)
+      .select("shingle")
+    val shCand = sh.join(rare, Seq("shingle"), "left_semi")
+    val cand = shCand.as("a").join(shCand.as("b"),
         col("a.shingle") === col("b.shingle") &&
           col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("a"), col("b.doc_id").as("b"))
-      .agg(count(lit(1)).as("c"))
+      .select(col("a.doc_id").as("a"), col("b.doc_id").as("b"))
+      .distinct()
+    // exact intersection over ALL shingles, candidates only
+    val inter = cand
+      .join(sh.toDF("a", "shingle"), Seq("a"))
+      .join(sh.toDF("b", "shingle"), Seq("b", "shingle"))
+      .groupBy("a", "b").agg(count(lit(1)).as("c"))
     inter
       .join(cnt.select(col("doc_id").as("a"), col("n").as("na")), Seq("a"))
       .join(cnt.select(col("doc_id").as("b"), col("n").as("nb")), Seq("b"))
@@ -76,22 +98,30 @@ object PipelineOps {
 
   // -------------------------------------------------------- MinHash + LSH
 
-  /** MinHash signatures (numPerms permutations via seeded xxhash64) banded
-    * for LSH: output (doc_id, band, band_hash). Near-duplicate candidates
-    * are pairs sharing any (band, band_hash) bucket — the scale path: the
-    * only shuffle is on the band hash, never on pairs.
+  /** MinHash signatures banded for LSH: output (doc_id, band, band_hash).
+    * Near-duplicate candidates are pairs sharing any (band, band_hash)
+    * bucket — the scale path: the only shuffle is on the band hash, never
+    * on pairs.
+    *
+    * Permutations are the classic universal affine family (a·h + b) mod p
+    * over a 31-bit polynomial shingle hash (OracleHash) — arithmetic with
+    * an exact ANSI-SQL twin, so minhash results carry a full DuckDB oracle
+    * (round 1's xxhash64 had none). One string hash per shingle + numPerms
+    * integer affines also beats numPerms string hashes at scale.
     */
   def minhashBands(docs: DataFrame, n: Int = 3, numPerms: Int = 16,
       bands: Int = 4): DataFrame = {
+    import graft.functions.OracleHash._
     val rowsPerBand = numPerms / bands
     val sigCols = (0 until numPerms).map(p =>
-      min(xxhash64(lit(p), col("shingle"))).as(s"h$p"))
+      min(affine(col("sh31"), permA(p), permB(p))).as(s"h$p"))
     val sig = shingles(docs, n)
+      .withColumn("sh31", polyHash31(col("shingle")))
       .groupBy("doc_id")
       .agg(sigCols.head, sigCols.tail: _*)
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
-        xxhash64((0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}")): _*)
+        combine62((0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}")))
           .as("band_hash"))
     }
     sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
@@ -129,23 +159,37 @@ object PipelineOps {
 
   // --------------------------------------------------------------- SimHash
 
-  /** 64-bit SimHash document fingerprint: per-token xxhash64, bitwise
-    * majority vote. Near-dups have small Hamming distance. Pure column
-    * arithmetic (bit tricks over an exploded token stream).
+  /** 62-bit SimHash document fingerprint: per-token 31-bit polynomial hash
+    * fanned out to two independent affine permutations (31 bits each),
+    * bitwise majority vote, packed as hi·2^31 + lo. Near-dups have small
+    * Hamming distance. Pure column arithmetic over an exploded token
+    * stream — and, unlike the round-1 xxhash64 form, every step has an
+    * exact DuckDB twin, so the fingerprints carry a full oracle.
     */
+  val simhashPermHi: (Long, Long) =
+    (graft.functions.OracleHash.permA(64), graft.functions.OracleHash.permB(64))
+  val simhashPermLo: (Long, Long) =
+    (graft.functions.OracleHash.permA(65), graft.functions.OracleHash.permB(65))
+
   def simhash(docs: DataFrame): DataFrame = {
+    import graft.functions.OracleHash._
     val tok = docs.select(col("doc_id"),
       explode(split(col("text"), " ")).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val bitCols = (0 until 64).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1L)
-        .otherwise(-1L)).as(s"b$b")
+      .withColumn("h", polyHash31(col("tok")))
+      .withColumn("g1", affine(col("h"), simhashPermHi._1, simhashPermHi._2))
+      .withColumn("g2", affine(col("h"), simhashPermLo._1, simhashPermLo._2))
+    def votes(c: String, tag: String) = (0 until 31).map { b =>
+      sum(when(shiftright(col(c), b).bitwiseAND(lit(1L)) === 1L, 1L)
+        .otherwise(-1L)).as(s"$tag$b")
     }
-    val agg = tok.groupBy("doc_id").agg(bitCols.head, bitCols.tail: _*)
-    val fp = (0 until 64).map(b =>
-      when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
+    val agg = tok.groupBy("doc_id")
+      .agg(votes("g1", "a").head, (votes("g1", "a").tail ++ votes("g2", "c")): _*)
+    def pack(tag: String) = (0 until 31).map(b =>
+      when(col(s"$tag$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
       .reduce(_.bitwiseOR(_))
-    agg.select(col("doc_id"), fp.as("simhash"))
+    agg.select(col("doc_id"),
+      (pack("a") * lit(graft.functions.OracleHash.SHIFT31) + pack("c"))
+        .as("simhash"))
   }
 
   // ----------------------------------------------------------- text stats
@@ -186,17 +230,24 @@ object PipelineOps {
     "fr" -> Set("le", "la", "et", "les", "des"),
     "es" -> Set("el", "la", "los", "que", "y"))
 
+  /** Argmax of per-language stopword hits; ties break to the
+    * lexicographically greatest language (a total, deterministic rule).
+    * Pure column arithmetic — size(filter(tokens, in-set)) per language,
+    * then a descending-language CASE chain — so it stays in whole-stage
+    * codegen AND has an exact SQL twin (round 1 used a typed map, which
+    * was rows-only for the oracle and paid Dataset ser/deser).
+    */
   def langId(docs: DataFrame): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    docs.select("doc_id", "text").as[(Long, String)].map { case (id, text) =>
-      val toks = text.split(' ')
-      val scores = langProfiles.toSeq.sortBy(_._1).map { case (lang, ws) =>
-        (lang, toks.count(ws.contains))
-      }
-      val best = scores.maxBy(s => (s._2, s._1))._1
-      (id, best)
-    }.toDF("doc_id", "pred_lang")
+    val toks = split(col("text"), " ")
+    val score = langProfiles.map { case (lang, ws) =>
+      lang -> size(filter(toks, t => t.isin(ws.toSeq: _*)))
+    }
+    val langsDesc = langProfiles.keys.toSeq.sorted.reverse
+    val best = greatest(langsDesc.map(score): _*)
+    val pred = langsDesc.init.foldRight(lit(langsDesc.last)) { (lang, els) =>
+      when(score(lang) === best, lit(lang)).otherwise(els)
+    }
+    docs.select(col("doc_id"), pred.as("pred_lang"))
   }
 
   /** The composed training-corpus cleaner — the end-to-end shape a 100 TB
@@ -285,24 +336,227 @@ object PipelineOps {
   }
 
   /** Scale path: random-hyperplane LSH (vector SimHash). Each vector gets a
-    * `nBits`-bit bucket from sign(v · h_i) against deterministic pseudo-
-    * random hyperplanes; probing is restricted to same-bucket vectors, so
-    * the pair blowup is bounded by bucket occupancy — the 100 TB answer to
-    * the brute-force crossJoin. (IVF would slot in the same way with
-    * k-means centroids instead of hyperplanes.)
+    * `nBits`-bit bucket per hash table from sign(v · h_j) against
+    * deterministic hyperplanes (OracleHash constants, baked as literals in
+    * both the Spark plan and the SQL oracle); probing is restricted to
+    * same/near-bucket vectors, so the pair blowup is bounded by bucket
+    * occupancy — the 100 TB answer to the brute-force crossJoin.
     */
-  def annLshBuckets(emb: DataFrame, nBits: Int = 8): DataFrame = {
-    // hyperplane j, component i: xxhash64(j, i) scaled to [-1, 1)
-    // (no raw multiplies — ANSI mode treats wrap-around as overflow)
-    def comp(j: Int, i: Column): Column =
-      xxhash64(lit(j), i).cast("double") / lit(9.223372036854776e18)
-    val dims = sequence(lit(0), size(col("embedding")) - 1)
+  def annLshBuckets(emb: DataFrame, nBits: Int = 8, table: Int = 0,
+      dims: Int = 64): DataFrame =
+    emb.select(col("vec_id"),
+      bucketCol(col("embedding"), nBits, table, dims).as("bucket"))
+
+  /** The nBits-bit LSH bucket of a float-vector column (one hash table). */
+  def bucketCol(v: Column, nBits: Int, table: Int, dims: Int): Column = {
+    import graft.functions.OracleHash
     val bits = (0 until nBits).map { j =>
+      val cs = OracleHash.hyperplane(table, j, dims)
       val dot = aggregate(
-        zip_with(col("embedding"), dims, (x, i) => x.cast("double") * comp(j, i)),
+        zip_with(v, typedlit(cs.toSeq), (x, c) => x.cast("double") * c),
         lit(0.0d), (acc, x) => acc + x)
       when(dot >= 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
     }
-    emb.select(col("vec_id"), bits.reduce(_.bitwiseOR(_)).as("bucket"))
+    bits.reduce(_.bitwiseOR(_))
+  }
+
+  /** Floor-scaled integer vector (the oracle-exact embedding domain). */
+  private def intVec(v: Column): Column =
+    transform(v, x => floor(x.cast("double") * lit(1000.0)).cast("long"))
+
+  /** Exact integer dot product of two long-array columns (order-free sum). */
+  private def intDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  // ------------------------------------------- exact IVF-pruned ANN top-k
+
+  /** EXACT top-k inner-product search through a coarse IVF index — the
+    * guaranteed-recall scale path (output bit-identical to [[annTopKInt]],
+    * so it shares that oracle). The sphere analog of the grid kNN's
+    * two-pass bound design (SpatialOps.knnJoin), which itself mirrors the
+    * reference's bound-pruned nearest_neighbor descent
+    * (rstar/src/algorithm/nearest_neighbor.rs:232-295):
+    *
+    *   Index: nClusters deterministic seed vectors (lowest ids); every
+    *   vector joins its max-dot seed; per cluster keep (seed, size,
+    *   R = max ||v - seed||) — by Cauchy-Schwarz, for any query q and any
+    *   member v of cluster c:  q·v ≤ q·seed_c + ||q||·R_c  (the bound).
+    *
+    *   Pass A: each query probes just enough top-bound clusters to hold
+    *   ≥ k members; the exact k-th best dot among them, dk, is a lower
+    *   bound on the true k-th best.
+    *   Pass B: probe every cluster with bound ≥ dk — no true top-k member
+    *   can hide elsewhere — and the window top-k over those candidates is
+    *   exact.
+    *
+    * All stages are DataFrame plans (broadcast cluster stats, cell-style
+    * equi-joins, WindowGroupLimit top-k); nothing is collected. Pruning
+    * power scales with how clustered the corpus is (random vectors are the
+    * worst case; real embedding corpora cluster hard).
+    */
+  def annIvfTopK(emb: DataFrame, nQueries: Int, k: Int,
+      nClusters: Int = 32): DataFrame = {
+    val spark = emb.sparkSession
+    val vecs = emb.select(col("vec_id").as("id"), intVec(col("embedding")).as("v"))
+    // Deterministic coarse centroids: the nClusters lowest-id vectors.
+    // (K-means would tighten R_c; seeds keep the index build one pass and
+    // fully deterministic. The bound argument is center-agnostic.)
+    val seeds = broadcast(
+      vecs.orderBy("id").limit(nClusters)
+        .select((row_number().over(Window.orderBy("id")) - 1).as("cluster"),
+          col("v").as("sv")))
+    // Assignment: argmax dot(v, seed); ties to the lowest cluster id.
+    val wAssign = Window.partitionBy("id").orderBy(col("sdot").desc, col("cluster"))
+    val assigned = vecs.crossJoin(seeds)
+      .withColumn("sdot", intDot(col("v"), col("sv")))
+      .withColumn("arn", row_number().over(wAssign))
+      .where(col("arn") === 1)
+      .select(col("cluster"), col("id"), col("v"), col("sv"))
+    // Cluster stats: size + conservative member radius (ulp-padded sqrt).
+    val r2 = aggregate(zip_with(col("v"), col("sv"), (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, x) => acc + x)
+    val stats = assigned
+      .withColumn("r", sqrt(r2.cast("double")) * lit(1.0 + 1e-12) + lit(1e-9))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("csize"), max("r").as("rc"), first("sv").as("sv"))
+    // Queries with conservative norms; bounds vs every cluster (the cluster
+    // table is the broadcast-size analog of the grid histogram).
+    val qn = sqrt(aggregate(zip_with(col("qv"), col("qv"), (a, b) => a * b),
+      lit(0L), (acc, x) => acc + x).cast("double")) * lit(1.0 + 1e-12) + lit(1e-9)
+    val bounds = vecs.where(col("id") < nQueries)
+      .select(col("id").as("qid"), col("v").as("qv"))
+      .withColumn("qnorm", qn)
+      .crossJoin(broadcast(stats))
+      .withColumn("bound",
+        intDot(col("qv"), col("sv")).cast("double") +
+          col("qnorm") * col("rc") + lit(1.0))
+      .select("qid", "qv", "cluster", "csize", "bound")
+    // Pass A: minimal top-bound prefix holding >= k members.
+    val wBound = Window.partitionBy("qid").orderBy(col("bound").desc, col("cluster"))
+    val prefixed = bounds.withColumn("before",
+      coalesce(sum("csize").over(wBound.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+    val passA = prefixed.where(col("before") < k)
+    val members = assigned.select(col("cluster"), col("id"), col("v"))
+    val wTop = Window.partitionBy("qid").orderBy(col("dot").desc, col("id"))
+    val dk = passA.join(members, Seq("cluster"))
+      .withColumn("dot", intDot(col("qv"), col("v")))
+      .withColumn("rn", row_number().over(wTop))
+      .where(col("rn") <= k)
+      .groupBy("qid").agg(min("dot").as("dk"))
+    // Pass B: every cluster whose bound can still beat dk; window = exact.
+    val passB = bounds.join(dk, Seq("qid"))
+      .where(col("bound") >= col("dk").cast("double"))
+    passB.join(members, Seq("cluster"))
+      .withColumn("dot", intDot(col("qv"), col("v")))
+      .withColumn("rn", row_number().over(wTop).cast("long"))
+      .where(col("rn") <= k)
+      .select(col("qid"), col("id"), col("dot"), col("rn"))
+  }
+
+  // ------------------------------------------- multiprobe LSH ANN top-k
+
+  /** Bucketed ANN top-k, end-to-end: `tables` independent LSH hash tables,
+    * multi-probe expansion to every bucket within Hamming distance
+    * `hamming` of the query's bucket (flip ≤ `hamming` bits), bucket
+    * equi-join, candidate dedup, exact integer-dot ranking, window top-k
+    * merge. Approximate by design — recall depends on how clustered the
+    * data is (asserted in PipelineSpec on a clustered fixture;
+    * [[annIvfTopK]] is the guaranteed-exact path). Every stage is a
+    * narrow-key equi-join: nothing quadratic, nothing collected.
+    */
+  def annLshTopK(emb: DataFrame, nQueries: Int, k: Int, nBits: Int = 8,
+      tables: Int = 4, hamming: Int = 2, dims: Int = 64): DataFrame = {
+    val withBuckets = emb.select(
+      (col("vec_id").as("id") +: intVec(col("embedding")).as("v") +:
+        (0 until tables).map(t =>
+          bucketCol(col("embedding"), nBits, t, dims).as(s"b$t"))): _*)
+    val data = withBuckets.select(col("id"), col("v"),
+      explode(array((0 until tables).map(t =>
+        struct(lit(t).as("t"), col(s"b$t").as("bucket"))): _*)).as("tb"))
+      .select(col("id"), col("v"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+    val masks = (0 until (1 << nBits)).filter(m => Integer.bitCount(m) <= hamming)
+      .map(_.toLong)
+    val probes = withBuckets.where(col("id") < nQueries)
+      .select(col("id").as("qid"), col("v").as("qv"),
+        explode(array((0 until tables).map(t =>
+          struct(lit(t).as("t"), col(s"b$t").as("qb"))): _*)).as("tb"))
+      .select(col("qid"), col("qv"), col("tb.t").as("t"), col("tb.qb").as("qb"),
+        explode(typedlit(masks)).as("mask"))
+      .withColumn("bucket", col("qb").bitwiseXOR(col("mask")))
+      .select("qid", "qv", "t", "bucket")
+    val cand = probes.join(data, Seq("t", "bucket"))
+      .select("qid", "qv", "id", "v")
+      .dropDuplicates("qid", "id")
+    val w = Window.partitionBy("qid").orderBy(col("dot").desc, col("id"))
+    cand.withColumn("dot", intDot(col("qv"), col("v")))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .where(col("rn") <= k)
+      .select("qid", "id", "dot", "rn")
+  }
+
+  // ------------------------------------------ exact embedding-dup join
+
+  /** Exact integer-dot threshold self-join, distributed: vectors are
+    * grouped into fixed-size blocks, block PAIRS (bi ≤ bj) are joined, and
+    * a fused primitive loop scans each block pair. This replaces round 1's
+    * driver-side collect + O(n²) loop: the same inherent O(n²) work — an
+    * EXACT threshold join at cos ≈ 0.45 admits no sub-quadratic candidate
+    * generation (measured: the driver corpus' qualifying pairs sit at
+    * cos 0.45-0.60 where hyperplane LSH collides on ~65%/bit, making LSH
+    * candidates ≈ the full pair set) — but sharded as (n/B)²/2 independent
+    * block-pair tasks with bounded memory (2 blocks per task), the shape
+    * that scales out. High-cosine regimes should use [[minhashLshPairs]]-
+    * style banding or [[annIvfTopK]] instead.
+    */
+  def embedDupPairs(emb: DataFrame, threshold: Long,
+      blockSize: Int = 1024): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val dims = 64
+    val blocks = emb
+      .select((col("vec_id") / blockSize).cast("int").as("bid"),
+        col("vec_id").as("id"), intVec(col("embedding")).as("v"))
+      .as[(Int, Long, Array[Long])]
+      .groupByKey(_._1)
+      .mapGroups { (bid, it) =>
+        val rows = it.toArray.sortBy(_._2)
+        val ids = rows.map(_._2)
+        val flat = new Array[Long](rows.length * dims)
+        var i = 0
+        while (i < rows.length) {
+          System.arraycopy(rows(i)._3, 0, flat, i * dims, dims); i += 1
+        }
+        (bid, ids, flat)
+      }
+    val pairs = blocks.toDF("bid", "ids", "flat").as("l")
+      .join(blocks.toDF("bid", "ids", "flat").as("r"),
+        col("l.bid") <= col("r.bid"))
+      .select(col("l.bid").as("lb"), col("l.ids").as("lids"),
+        col("l.flat").as("lf"), col("r.bid").as("rb"),
+        col("r.ids").as("rids"), col("r.flat").as("rf"))
+      .as[(Int, Array[Long], Array[Long], Int, Array[Long], Array[Long])]
+    pairs.flatMap { case (lb, lids, lf, rb, rids, rf) =>
+      val same = lb == rb
+      val out = Vector.newBuilder[(Long, Long, Long)]
+      var i = 0
+      while (i < lids.length) {
+        var j = if (same) i + 1 else 0
+        while (j < rids.length) {
+          var dot = 0L
+          var d = 0
+          val io = i * dims; val jo = j * dims
+          while (d < dims) { dot += lf(io + d) * rf(jo + d); d += 1 }
+          if (dot >= threshold) {
+            val (a, b) =
+              if (lids(i) < rids(j)) (lids(i), rids(j)) else (rids(j), lids(i))
+            out += ((a, b, dot))
+          }
+          j += 1
+        }
+        i += 1
+      }
+      out.result()
+    }.toDF("a", "b", "dot")
   }
 }

@@ -87,6 +87,42 @@ class SkewSpec extends AnyFunSuite {
     assert(byKey.exists(k => (k._1 >> 32).toInt == grid.res))
   }
 
+  test("ngram near-dup: a pathological stop-shingle stays bounded by the " +
+    "df cap and the pair set stays exact") {
+    import spark.implicits._
+    import graft.pipeline.PipelineOps
+    // 400 docs ALL sharing one hot trigram ("aa bb cc ..."), plus unique
+    // filler; two planted near-dup pairs share long rare runs.
+    val hot = "xx yy zz"
+    def doc(i: Long): String = {
+      val uniq = (0 until 12).map(j => s"w${i}_$j").mkString(" ")
+      s"$hot $uniq"
+    }
+    val base = spark.range(400).map(i => (i, doc(i))).toDF("doc_id", "text")
+    val dup = Seq(
+      (1000L, doc(7)),   // near-identical to doc 7
+      (1001L, doc(13))   // near-identical to doc 13
+    ).toDF("doc_id", "text")
+    val docs = base.unionByName(dup)
+    // uncapped candidate volume from the hot shingle alone would be
+    // 402*401/2 ≈ 80k pairs; the cap must keep candidates at the rare-
+    // shingle level (planted pairs only)
+    val sh = PipelineOps.shingles(docs, 3)
+    val rare = sh.groupBy("shingle").count()
+      .where(col("count") <= 128).select("shingle")
+    val shCand = sh.join(rare, Seq("shingle"), "left_semi")
+    val candCount = shCand.as("a").join(shCand.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id")).distinct().count()
+    assert(candCount <= 10, s"df cap failed to bound candidates: $candCount")
+    // exactness: capped pipeline == brute-force Jaccard over all pairs
+    val got = PipelineOps.ngramJaccardPairs(docs, 3, 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((7L, 1000L), (13L, 1001L)),
+      s"capped near-dup pairs wrong: $got")
+  }
+
   test("salting actually splits the hot cell across many co-partition keys") {
     import spark.implicits._
     val l = skewedPoints(4000, 100)
