@@ -308,6 +308,82 @@ object Queries {
        |  FROM p CROSS JOIN l)
        |SELECT id, MIN(d2) AS min_d2 FROM j GROUP BY id ORDER BY id""".stripMargin
 
+  // --------------------------------------- G14 at scale: grid line layer
+
+  /** Nearest-segment distance from every customer point to a LARGE line
+    * layer (one segment per `part` row) through the grid-partitioned
+    * two-pass join (SpatialOps.lineNearestJoin) — no broadcast, no
+    * crossJoin; the oracle is the brute min over all segments, equal
+    * because pass B provably contains the argmin and MIN of doubles is
+    * order-independent.
+    */
+  def lineGridNN(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val k = col("p_partkey")
+    // +0.01 keeps every segment non-degenerate: keys divisible by 997 have
+    // rW = rH = 0, and a zero-length segment divides by len2 = 0 in the
+    // clamped-projection formula (ANSI Spark errors; the reference's
+    // Line::distance_2 assumes nondegenerate lines too).
+    val lines = load(spark, dir, "part").select(
+      k.as("lid"),
+      px(k).as("x1"), py(k).as("y1"),
+      (px(k) + rW(k) + lit(0.01)).as("x2"), (py(k) + rH(k)).as("y2"))
+    val pts = points(load(spark, dir, "customer"), "c_custkey").as[PointRow]
+    SpatialOps.lineNearestJoin(pts, lines, grid).orderBy("id")
+  }
+
+  val lineGridNNSql: String = {
+    val d2 =
+      """(p.x - (l.x1 + LEAST(1.0, GREATEST(0.0,
+        |     ((p.x - l.x1) * (l.x2 - l.x1) + (p.y - l.y1) * (l.y2 - l.y1))
+        |     / ((l.x2 - l.x1) * (l.x2 - l.x1) + (l.y2 - l.y1) * (l.y2 - l.y1))))
+        |     * (l.x2 - l.x1)))
+        |  * (p.x - (l.x1 + LEAST(1.0, GREATEST(0.0,
+        |     ((p.x - l.x1) * (l.x2 - l.x1) + (p.y - l.y1) * (l.y2 - l.y1))
+        |     / ((l.x2 - l.x1) * (l.x2 - l.x1) + (l.y2 - l.y1) * (l.y2 - l.y1))))
+        |     * (l.x2 - l.x1)))
+        |  + (p.y - (l.y1 + LEAST(1.0, GREATEST(0.0,
+        |     ((p.x - l.x1) * (l.x2 - l.x1) + (p.y - l.y1) * (l.y2 - l.y1))
+        |     / ((l.x2 - l.x1) * (l.x2 - l.x1) + (l.y2 - l.y1) * (l.y2 - l.y1))))
+        |     * (l.y2 - l.y1)))
+        |  * (p.y - (l.y1 + LEAST(1.0, GREATEST(0.0,
+        |     ((p.x - l.x1) * (l.x2 - l.x1) + (p.y - l.y1) * (l.y2 - l.y1))
+        |     / ((l.x2 - l.x1) * (l.x2 - l.x1) + (l.y2 - l.y1) * (l.y2 - l.y1))))
+        |     * (l.y2 - l.y1)))""".stripMargin
+    s"""WITH l AS (SELECT p_partkey AS lid,
+       |  ${pxSql("p_partkey")} AS x1, ${pySql("p_partkey")} AS y1,
+       |  ${pxSql("p_partkey")} + ${rWSql("p_partkey")} + 0.01 AS x2,
+       |  ${pySql("p_partkey")} + ${rHSql("p_partkey")} AS y2 FROM part),
+       |p AS (${pointsSql("customer", "c_custkey")}),
+       |j AS (SELECT p.id, $d2 AS d2 FROM p CROSS JOIN l)
+       |SELECT id, MIN(d2) AS min_d2 FROM j GROUP BY id ORDER BY id""".stripMargin
+  }
+
+  // ------------------------------------------- C5: persisted index probe
+
+  /** Range query answered from the PERSISTED `(cell, n, tree BINARY)` index
+    * table (C5 at scale; reference serde round-trip rstar/src/rtree.rs:1289-
+    * 1305): the first call builds the table through Checkpoint (group-
+    * committed, kill/resumable — CheckpointSpec); every later call prunes
+    * the stored cells to the query box and probes the deserialized trees
+    * without any rebuild.
+    */
+  def persistedRange(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pts = points(load(spark, dir, "customer"), "c_custkey").as[PointRow]
+    val root = s"/tmp/graft_pidx_v2_${new java.io.File(dir).getName}"
+    IndexStore.build(spark, pts, grid, root)
+    IndexStore.rangeQuery(spark, root, grid, QB._1, QB._2, QB._3, QB._4)
+      .orderBy("id")
+  }
+
+  val persistedRangeSql: String =
+    s"""WITH p AS (${pointsSql("customer", "c_custkey")})
+       |SELECT id, x, y FROM p
+       |WHERE x >= ${QB._1} AND x <= ${QB._3}
+       |  AND y >= ${QB._2} AND y <= ${QB._4}
+       |ORDER BY id""".stripMargin
+
   // ------------------------------------------------ G5: envelope-of-group
 
   def envelopeAgg(spark: SparkSession, dir: String): DataFrame =

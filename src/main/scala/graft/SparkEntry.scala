@@ -30,6 +30,8 @@ object SparkEntry {
     "q_drain_remainder" -> (Queries.drainRemainder(_, _)),
     "q_envelope_agg" -> (Queries.envelopeAgg(_, _)),
     "q_line_nearest" -> (Queries.lineNearest(_, _)),
+    "q_line_grid_nn" -> (Queries.lineGridNN(_, _)),
+    "q_persisted_range" -> (Queries.persistedRange(_, _)),
     // training-data pipeline operators
     "q_dedup_exact" -> (PipelineQueries.dedupExact(_, _)),
     "q_embed_dup" -> (PipelineQueries.embedDup(_, _)),
@@ -67,6 +69,8 @@ object SparkEntry {
     "q_drain_remainder" -> Queries.drainRemainderSql,
     "q_envelope_agg" -> Queries.envelopeAggSql,
     "q_line_nearest" -> Queries.lineNearestSql,
+    "q_line_grid_nn" -> Queries.lineGridNNSql,
+    "q_persisted_range" -> Queries.persistedRangeSql,
     // pipeline oracles — every query carries one: the hash-based scale
     // paths run on OracleHash arithmetic with generated SQL twins
     "q_dedup_exact" -> PipelineQueries.dedupExactSql,

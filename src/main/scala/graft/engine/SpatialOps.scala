@@ -418,6 +418,80 @@ object SpatialOps {
       .select(col("qid"), col("id"), col("d2"), col("rn"))
   }
 
+  // -------------------------------------------- G14 at scale: line layers
+
+  /** Nearest-segment distance join for a LARGE line layer (G14
+    * distributed; `Line::distance_2`, rstar/src/primitives/line.rs:71-113):
+    * the same two-pass grid scheme as [[knnJoin]], with segments registered
+    * in every cell their envelope covers, so no broadcast and no crossJoin
+    * — both sides meet only on cell keys.
+    *
+    *   Pass A: each point ring-expands over the broadcast line-per-cell
+    *   histogram until it sees ≥ 1 segment; the minimum point-to-segment
+    *   distance among those candidates is an upper bound d_up.
+    *   Pass B: probe every cell the d_up disc touches; a segment within
+    *   d_up of the point passes through the disc, so its envelope covers a
+    *   probed cell — the min over pass-B candidates is exact. (The disc
+    *   radius is padded by an ulp so sqrt rounding can never shave the
+    *   boundary cell.)
+    *
+    * `lines` needs columns (lid, x1, y1, x2, y2); output (id, min_d2) with
+    * the distance arithmetic in the exact IEEE order of
+    * SpatialFunctions.stLineDistanceSq (oracle parity).
+    */
+  def lineNearestJoin(points: Dataset[PointRow], lines: DataFrame,
+      grid: CellGrid): DataFrame = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    val lineCelled = lines.select(
+      col("lid"), col("x1"), col("y1"), col("x2"), col("y2"),
+      explode(stCoverCells(grid)(
+        least(col("x1"), col("x2")), least(col("y1"), col("y2")),
+        greatest(col("x1"), col("x2")), greatest(col("y1"), col("y2"))))
+        .as("cell"))
+    val histRows = lineCelled.groupBy("cell").count()
+      .as[(Long, Long)].collect().sortBy(_._1)
+    val histKeys = histRows.map(_._1)
+    val histCnts = histRows.map(_._2)
+    val histB = spark.sparkContext.broadcast((histKeys, histCnts))
+
+    val candA = points.flatMap { p =>
+      val (hk, hc) = histB.value
+      def cnt(c: Long): Long = {
+        val i = java.util.Arrays.binarySearch(hk, c)
+        if (i >= 0) hc(i) else 0L
+      }
+      val cx = grid.ix(p.x); val cy = grid.iy(p.y)
+      var cum = 0L
+      var ring = 0
+      val cells = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val maxRing = grid.cellsPerAxis
+      while (cum < 1 && ring <= maxRing) {
+        grid.ring(cx, cy, ring).foreach { c =>
+          val n = cnt(c)
+          if (n > 0) { cells += c; cum += n }
+        }
+        ring += 1
+      }
+      cells.map(c => (p.id, p.x, p.y, c))
+    }.toDF("id", "px", "py", "cell")
+
+    val d2 = stLineDistanceSq(col("x1"), col("y1"), col("x2"), col("y2"),
+      col("px"), col("py"))
+    val dUp = candA.join(lineCelled, Seq("cell"))
+      .select(col("id"), col("px"), col("py"), d2.as("d2"))
+      .groupBy("id").agg(min("d2").as("dUp"),
+        first("px").as("px"), first("py").as("py"))
+
+    val r = sqrt(col("dUp")) * lit(1.0 + 1e-12)
+    val candB = dUp.select(col("id"), col("px"), col("py"),
+      explode(stCoverCells(grid)(
+        col("px") - r, col("py") - r, col("px") + r, col("py") + r)).as("cell"))
+    candB.join(lineCelled, Seq("cell"))
+      .select(col("id"), d2.as("d2"))
+      .groupBy("id").agg(min("d2").as("min_d2"))
+  }
+
   // --------------------------------------------------- selections as scans
 
   /** F1 `locate_in_envelope`: full containment — a pure conjunctive range

@@ -83,6 +83,74 @@ class CheckpointSpec extends AnyFunSuite {
     pages.unpersist()
   }
 
+  test("persisted index table: kill/resume over serialized trees; probes " +
+    "answer from stored bytes and match a brute scan") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    import graft.engine.{IndexStore, PointRow, SpatialOps}
+    val root = java.nio.file.Files.createTempDirectory("graft_idx").toString
+    val grid = CellGrid.lonLat(4)
+    val pts = spark.range(5000).map { id =>
+      PointRow(id,
+        PagesGen.uniform(id, 1) * 360.0 - 180.0,
+        PagesGen.uniform(id, 2) * 170.0 - 85.0)
+    }
+    IndexStore.build(spark, pts, grid, root, nGroups = 6)
+
+    // probe from the stored table == brute range scan
+    val (bx0, by0, bx1, by1) = (-50.0, -30.0, 60.0, 45.0)
+    def probe() = IndexStore.rangeQuery(spark, root, grid, bx0, by0, bx1, by1)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
+    val want = pts.collect().filter(p =>
+      p.x >= bx0 && p.x <= bx1 && p.y >= by0 && p.y <= by1)
+      .map(p => (p.id, p.x, p.y)).toSet
+    assert(probe() == want)
+    assert(want.nonEmpty)
+
+    // within-distance probe over stored trees == brute
+    val wd = IndexStore.withinDistance(spark, root, grid, 10.0, 10.0, 900.0)
+      .collect().map(r => r.getLong(0)).toSet
+    val wantWd = pts.collect().filter { p =>
+      val dx = p.x - 10.0; val dy = p.y - 10.0
+      dx * dx + dy * dy <= 900.0
+    }.map(_.id).toSet
+    assert(wd == wantWd)
+
+    // kill/resume: drop one committed group (marker + data); rebuild must
+    // recompute ONLY that group and restore identical probe results
+    val cp = new Checkpoint(spark, root)
+    val victim = 3
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(root, "trees", s"_done_$victim"))
+    def rmrf(p: java.nio.file.Path): Unit =
+      if (java.nio.file.Files.exists(p)) {
+        java.nio.file.Files.walk(p)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => java.nio.file.Files.delete(f))
+      }
+    rmrf(java.nio.file.Paths.get(root, "trees", s"group=$victim"))
+    assert(cp.completedGroups("trees") == Set(0, 1, 2, 4, 5))
+    // record other groups' file fingerprints: resume must not rewrite them
+    import scala.jdk.CollectionConverters._
+    def fingerprints(): Map[Int, Set[String]] =
+      (Set(0, 1, 2, 4, 5)).map { g =>
+        val d = java.nio.file.Paths.get(root, "trees", s"group=$g")
+        g -> java.nio.file.Files.list(d).iterator().asScala
+          .map(f => f.getFileName.toString + ":" +
+            java.nio.file.Files.getLastModifiedTime(f).toMillis)
+          .toSet
+      }.toMap
+    val before = fingerprints()
+    IndexStore.build(spark, pts, grid, root, nGroups = 6)
+    assert(cp.completedGroups("trees") == (0 until 6).toSet)
+    assert(fingerprints() == before, "resume rewrote committed groups")
+    assert(probe() == want)
+
+    // lineage: latest attempt per group only — victim appears once
+    val lin = cp.lineage().where(col("stage") === "trees")
+    assert(lin.count() == 6)
+  }
+
   test("rerunning a fully-committed stage recomputes nothing") {
     spark.sparkContext.setLogLevel("ERROR")
     val root = java.nio.file.Files.createTempDirectory("graft_cp2").toString
