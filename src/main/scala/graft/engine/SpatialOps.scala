@@ -289,10 +289,101 @@ object SpatialOps {
       .select(col("qid"), col("id"), col("d2"), col("rn"))
   }
 
-  /** Tree-probe kNN join for dense cells: cogroup queries and data by cell,
-    * bulk-load a per-cell `LocalRTree`, emit each query's top-k via the
-    * best-first iterator — O(log n) per neighbor instead of streaming the
-    * whole in-cell candidate set through the window operator.
+  /** Co-partitioned InternalRow probe — the "columnar exec" for per-cell
+    * tree probes. Both sides are hash-repartitioned AND sorted by cell
+    * through the DataFrame API (so Catalyst plans the shuffles), then the
+    * probe runs as a zip of the two partitions' InternalRow iterators: a
+    * merge-cogroup over the sorted cell runs builds one packed
+    * `PointRTree2D` per cell straight from row primitives and probes it —
+    * ZERO Dataset encoder work on the (big) data side, which is what made
+    * the round-1 typed cogroup lose to the window path (BASELINE.md: the
+    * packed tree probes at ~2.8 µs/NN but object ser/deser dominated).
+    * Only the (small, ≤ queries·cells·k) result pays row construction.
+    *
+    * `cand` columns: (cell, qid, qx, qy); `data` columns: (cell, id, x, y).
+    * Output: (qid, id, d2) — each candidate query's per-cell top-k.
+    */
+  private def probeRows(
+      cand: DataFrame, data: DataFrame, k: Int, keepTies: Boolean,
+      parts: Int): DataFrame = {
+    val spark = data.sparkSession
+    import spark.implicits._
+    // Identical HashPartitioning(cell, parts) on both sides → identical
+    // row→partition assignment → zipPartitions is a co-partitioned cogroup.
+    val c = cand.select("cell", "qid", "qx", "qy")
+      .repartition(parts, col("cell")).sortWithinPartitions("cell")
+    val d = data.select("cell", "id", "x", "y")
+      .repartition(parts, col("cell")).sortWithinPartitions("cell")
+    val rdd = c.queryExecution.toRdd.zipPartitions(d.queryExecution.toRdd) {
+      (qit, dit) =>
+        new Iterator[(Long, Long, Double)] {
+          // Primitive one-row look-ahead on the data side: the shuffle
+          // reader reuses its UnsafeRow, so fields are read immediately —
+          // never a row copy, never an object per point.
+          private var pending = false
+          private var pCell = 0L
+          private var pId = 0L
+          private var pX = 0.0
+          private var pY = 0.0
+          private def advance(): Unit =
+            if (dit.hasNext) {
+              val r = dit.next()
+              pCell = r.getLong(0); pId = r.getLong(1)
+              pX = r.getDouble(2); pY = r.getDouble(3)
+              pending = true
+            } else pending = false
+          advance()
+
+          private var dCell = Long.MinValue
+          private var tree: PointRTree2D = null
+          private val buf = scala.collection.mutable.Queue.empty[(Long, Long, Double)]
+
+          private def loadRun(cell: Long): Unit = {
+            while (pending && pCell < cell) advance()
+            if (!pending || pCell != cell) {
+              dCell = cell; tree = null
+            } else {
+              val ids = new scala.collection.mutable.ArrayBuffer[Long](64)
+              val xs = new scala.collection.mutable.ArrayBuffer[Double](64)
+              val ys = new scala.collection.mutable.ArrayBuffer[Double](64)
+              while (pending && pCell == cell) {
+                ids += pId; xs += pX; ys += pY
+                advance()
+              }
+              dCell = cell
+              tree = PointRTree2D.build(ids.toArray, xs.toArray, ys.toArray)
+            }
+          }
+
+          private def fill(): Unit = {
+            while (buf.isEmpty && qit.hasNext) {
+              val q = qit.next()
+              val cell = q.getLong(0)
+              val qid = q.getLong(1)
+              val qx = q.getDouble(2)
+              val qy = q.getDouble(3)
+              if (cell != dCell) loadRun(cell)
+              if (tree != null) {
+                tree.nearestK(qx, qy, k, keepTies) { (p, d2) =>
+                  buf.enqueue((qid, tree.ids(p), d2))
+                }
+              }
+            }
+          }
+
+          override def hasNext: Boolean = { fill(); buf.nonEmpty }
+          override def next(): (Long, Long, Double) = { fill(); buf.dequeue() }
+        }
+    }
+    spark.createDataset(rdd).toDF("qid", "id", "d2")
+  }
+
+  /** Tree-probe kNN join for dense cells: co-partition queries and data by
+    * cell, bulk-load a per-cell packed tree, emit each query's top-k via
+    * the best-first descent — O(log n) per neighbor instead of streaming
+    * the whole in-cell candidate set through the window operator. The
+    * probe runs on InternalRows ([[probeRows]]); round 1's typed cogroup
+    * lost its probe-rate advantage to Dataset ser/deser.
     */
   def knnJoinTrees(
       queries: Dataset[QueryRow], data: Dataset[PointRow], k: Int,
@@ -300,37 +391,20 @@ object SpatialOps {
     val spark = queries.sparkSession
     import spark.implicits._
 
-    val dataCelled = data.map(p => (grid.cellId(p.x, p.y), p))
+    val parts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val dataCelled = data
+      .withColumn("cell", stCell(grid)(col("x"), col("y")))
+      .select("cell", "id", "x", "y")
     // Per-cell histogram: map-side-combined groupBy; bounded by 4^res cells.
     // Collected ONCE — broadcast for pass A's ring expansion and re-created
     // driver-side as a small DataFrame for the safe-query join below.
-    val histRows: Array[(Long, Long)] =
-      dataCelled.groupByKey(_._1).count().collect()
+    val histRows: Array[(Long, Long)] = dataCelled.groupBy("cell").count()
+      .as[(Long, Long)].collect()
     val hist: Map[Long, Long] = histRows.toMap
     val histB = spark.sparkContext.broadcast(hist)
 
-    // Per-cell probe: cogroup queries with data by cell, bulk-load a packed
-    // SoA point tree per cell (PointRTree2D: STR order, implicit levels, no
-    // objects on the probe path), emit each query's per-cell top-k in
-    // distance order — never the whole in-cell candidate set. keepTies
-    // extends past k while the distance stays float-equal to the k-th (K3).
-    def probe(cand: Dataset[(Long, QueryRow)]): Dataset[(Long, Long, Double)] =
-      cand.groupByKey(_._1).cogroup(dataCelled.groupByKey(_._1)) {
-        (_, qs, ds) =>
-          val darr = ds.map(_._2).toArray
-          if (darr.isEmpty) Iterator.empty
-          else {
-            val tree = PointRTree2D.build(
-              darr.map(_.id), darr.map(_.x), darr.map(_.y))
-            qs.flatMap { case (_, q) =>
-              val out = Vector.newBuilder[(Long, Long, Double)]
-              tree.nearestK(q.x, q.y, k, keepTies) { (p, d2) =>
-                out += ((q.qid, tree.ids(p), d2))
-              }
-              out.result()
-            }
-          }
-      }
+    def probe(cand: DataFrame): DataFrame =
+      probeRows(cand, dataCelled, k, keepTies, parts)
 
     // Pass A: ring expansion per query until ≥ k candidates are guaranteed;
     // probe those cells → d_up = the k-th candidate distance upper bound.
@@ -348,8 +422,8 @@ object SpatialOps {
         }
         ring += 1
       }
-      cells.map(c => (c, q))
-    }
+      cells.map(c => (c, q.qid, q.x, q.y))
+    }.toDF("cell", "qid", "qx", "qy")
     val wAsc = Window.partitionBy("qid").orderBy(col("d2"), col("id"))
     def rankCol =
       if (keepTies) rank().over(Window.partitionBy("qid").orderBy(col("d2")))
@@ -359,7 +433,7 @@ object SpatialOps {
     // query result without recompute; unlike cache() the blocks are
     // reference-counted and reclaimed by the ContextCleaner as soon as the
     // returned plan is no longer referenced — no standing unpersist leak.
-    val topA = probe(candA).toDF("qid", "id", "d2")
+    val topA = probe(candA)
       .withColumn("rn", rankCol)
       .where(col("rn") <= k)
       .localCheckpoint(true)
@@ -407,10 +481,9 @@ object SpatialOps {
           col("qx") - sqrt(col("dUp")), col("qy") - sqrt(col("dUp")),
           col("qx") + sqrt(col("dUp")), col("qy") + sqrt(col("dUp"))))
           .as("cell"))
-      .as[(Long, Double, Double, Long)]
-      .map { case (qid, qx, qy, cell) => (cell, QueryRow(qid, qx, qy)) }
+      .select("cell", "qid", "qx", "qy")
 
-    val unsafeRows = probe(candB).toDF("qid", "id", "d2")
+    val unsafeRows = probe(candB)
       .withColumn("rn", rankCol)
       .where(col("rn") <= k)
 

@@ -134,6 +134,41 @@ class SpatialOpsSpec extends AnyFunSuite {
       .select("id").collect().map(_.getLong(0)).toSet == Set(0L, 1L, 2L, 3L))
   }
 
+  test("dense-cell kNN: the fused InternalRow tree probe beats the window " +
+    "path, with no object cogroup in the plan") {
+    val s = sc
+    import s.implicits._
+    // dense regime: res-2 grid → 16 cells → ~12k points per cell; the
+    // window path must sort queries×density candidate rows, the tree path
+    // answers each query in O(log density)
+    val denseGrid = CellGrid.lonLat(2)
+    val data = points(200000, 8000).localCheckpoint(true)
+    val queries = s.range(3000).map(i =>
+      QueryRow(i, uniform(i + 31, 1) * 360.0 - 180.0,
+        uniform(i + 31, 2) * 170.0 - 85.0)).localCheckpoint(true)
+    def run(f: => org.apache.spark.sql.DataFrame): (Long, Double) = {
+      val t0 = System.nanoTime()
+      val n = f.count()
+      (n, (System.nanoTime() - t0) / 1e9)
+    }
+    // warm both paths (JIT + codegen), then measure
+    run(SpatialOps.knnJoin(queries, data, 5, denseGrid))
+    run(SpatialOps.knnJoinTrees(queries, data, 5, denseGrid))
+    val (nw, tw) = run(SpatialOps.knnJoin(queries, data, 5, denseGrid))
+    val (nt, tt) = run(SpatialOps.knnJoinTrees(queries, data, 5, denseGrid))
+    assert(nw == nt)
+    info(f"dense-cell: window $tw%.2f s, fused trees $tt%.2f s (${tw / tt}%.1fx)")
+    // measured ~10x on this fixture; 1.0 leaves ample noise headroom while
+    // still proving the round-1 regression (trees LOST 2.3x) is gone
+    assert(tt < tw, f"fused tree path ($tt%.2f s) should beat window ($tw%.2f s)")
+    // the plan must not contain the round-1 object-churn operators: the
+    // probe runs on co-partitioned InternalRows, not typed cogroups
+    val plan = SpatialOps.knnJoinTrees(queries, data, 5, denseGrid)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CoGroup") && !plan.contains("MapGroups"),
+      s"typed cogroup leaked back into the tree-probe plan:\n$plan")
+  }
+
   test("knnJoin plan shape: top-k pushes below the shuffle (WindowGroupLimit) " +
     "and the probe joins are hash joins") {
     val s = sc
