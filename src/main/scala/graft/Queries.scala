@@ -174,14 +174,19 @@ object Queries {
 
   // ------------------------------------------------- J1: pairwise join
 
+  /** Default = the pure-DataFrame cell equi-join plan: it stays inside
+    * whole-stage codegen AND inside AQE's skew-join splitting, which the
+    * typed cogroup tree variant (`SpatialOps.intersectionJoinTree`, still
+    * exercised in SpatialOpsSpec/SkewSpec) sits outside — the more
+    * scale-robust default at 100 TB.
+    */
   def intersectionJoin(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     def toRows(df: DataFrame) = df.select(
       col("id"), col("min_x").as("minX"), col("min_y").as("minY"),
-      col("max_x").as("maxX"), col("max_y").as("maxY")).as[RectRow]
+      col("max_x").as("maxX"), col("max_y").as("maxY"))
     val l = toRows(rects(load(spark, dir, "orders"), "o_orderkey"))
     val r = toRows(rects(load(spark, dir, "supplier"), "s_suppkey"))
-    SpatialOps.intersectionJoinTree(l, r, grid)
+    SpatialOps.intersectionJoin(l, r, grid)
       .toDF("lid", "rid")
       .orderBy("lid", "rid")
   }

@@ -50,6 +50,18 @@ final class LocalRTree[T](
   // removal re-freezes through bulkLoad.
   private var frozen: Boolean = false
 
+  /** Lazily-built SoA mirror of a frozen 2-D tree (see [[FlatMirror]]):
+    * the hot query paths run on flat primitive arrays instead of the node
+    * graph. Null when unavailable (mutated tree, n-dim, custom distance).
+    */
+  @transient private var mirrorCache: FlatMirror[T] = _
+  private def mirror: FlatMirror[T] =
+    if (!frozen || cnt == 0 || root.env.dims != 2) null
+    else {
+      if (mirrorCache == null) mirrorCache = FlatMirror.build(root, cnt)
+      mirrorCache
+    }
+
   def size: Int = cnt
   def rootNode: Inner[T] = root
 
@@ -68,6 +80,7 @@ final class LocalRTree[T](
       }
     cnt = elements.length
     frozen = true
+    mirrorCache = null // rebuilt lazily for the new tree
     this
   }
 
@@ -141,6 +154,7 @@ final class LocalRTree[T](
     */
   def insert(entry: Entry[T]): Unit = {
     frozen = false
+    mirrorCache = null
     if (cnt == 0) {
       root = Inner.ofChildren(Array[Node[T]](entry))
       cnt = 1
@@ -445,6 +459,11 @@ final class LocalRTree[T](
     * plain recursion, no iterator or stack allocation per probe.
     */
   def foreachIntersecting(q: AABB)(f: Entry[T] => Unit): Unit = {
+    val m = mirror
+    if (m != null) {
+      m.foreachIntersecting(q.lower(0), q.lower(1), q.upper(0), q.upper(1))(f)
+      return
+    }
     val dims = if (cnt > 0) root.env.dims else 2
     val useFlat = frozen
     def walk(n: Inner[T]): Unit = {
@@ -481,6 +500,14 @@ final class LocalRTree[T](
       p: Array[Double],
       dist: Entry[T] => Double = null): Option[(Entry[T], Double)] = {
     if (cnt == 0) return None
+    if (dist == null && p.length == 2) {
+      val m = mirror
+      if (m != null) {
+        val distOut = new Array[Double](1)
+        val i = m.nearest(p(0), p(1), distOut)
+        return if (i < 0) None else Some((m.entries(i), distOut(0)))
+      }
+    }
     val d = if (dist == null) (e: Entry[T]) => e.env.distance2(p) else dist
     val heap = new DistHeap[Node[T]](32)
     var smallestMinMax = Double.MaxValue
@@ -537,6 +564,13 @@ final class LocalRTree[T](
   def nearestNeighborIter(
       p: Array[Double],
       dist: Entry[T] => Double = null): Iterator[(Entry[T], Double)] = {
+    if (dist == null && p.length == 2) {
+      val m = mirror
+      if (m != null)
+        return m.nearestIter(p(0), p(1)).map { case (i, dd) =>
+          (m.entries(i), dd)
+        }
+    }
     val d = if (dist == null) (e: Entry[T]) => e.env.distance2(p) else dist
     val flatOk = frozen && dist == null
     new Iterator[(Entry[T], Double)] {
@@ -782,6 +816,246 @@ object LocalRTree {
         n.env = e
       }
       n
+    }
+  }
+
+  /** Whole-tree struct-of-arrays mirror of a FROZEN 2-D tree: per-level
+    * flat envelope arrays plus contiguous child ranges (DFS order), so the
+    * NN/box hot loops touch only primitive arrays — no Node pattern
+    * matches, no pointer chasing, no per-child megamorphic dispatch. The
+    * same layout idea as [[PointRTree2D]], generalized to rectangle
+    * entries and the bulk-load tree's variable fan-out. Built lazily on
+    * first query, invalidated by any mutation (the `frozen` flag), and
+    * @transient across serialization.
+    *
+    * Level 0 = leaf parents (child ranges index `entries`); level
+    * `levels-1` = root. Envelopes are (minX, minY, maxX, maxY) stride 4.
+    */
+  private[index] final class FlatMirror[T](
+      val entries: Array[Entry[T]],
+      val entryEnvs: Array[Double],
+      val levelEnvs: Array[Array[Double]],
+      val childStart: Array[Array[Int]],
+      val childEnd: Array[Array[Int]]) {
+
+    @inline private def boxDist2(
+        a: Array[Double], off: Int, px: Double, py: Double): Double = {
+      val dx = math.min(a(off + 2), math.max(a(off), px)) - px
+      val dy = math.min(a(off + 3), math.max(a(off + 1), py)) - py
+      dx * dx + dy * dy
+    }
+
+    /** 2-D MinMaxDist (Roussopoulos 1995): an upper bound on the distance
+      * to the nearest entry inside the box — used only for pruning, so any
+      * valid bound preserves exactness.
+      */
+    @inline private def minMaxDist2(
+        a: Array[Double], off: Int, px: Double, py: Double): Double = {
+      val cx = (a(off) + a(off + 2)) / 2
+      val cy = (a(off + 1) + a(off + 3)) / 2
+      val nearX = if (px <= cx) a(off) else a(off + 2)
+      val farX = if (px >= cx) a(off) else a(off + 2)
+      val nearY = if (py <= cy) a(off + 1) else a(off + 3)
+      val farY = if (py >= cy) a(off + 1) else a(off + 3)
+      val dxN = px - nearX; val dxF = px - farX
+      val dyN = py - nearY; val dyF = py - farY
+      val viaX = dxN * dxN + dyF * dyF
+      val viaY = dyN * dyN + dxF * dxF
+      math.min(viaX, viaY)
+    }
+
+    private val top = levelEnvs.length - 1
+    private val ENTRY = 1L << 62
+
+    /** Best-first heap seeded with the root; shared by 1-NN and the
+      * distance-ordered iterator. Entry keys are exact envelope distances,
+      * so the first entry popped is the nearest.
+      */
+    private def seedHeap(px: Double, py: Double): LongKeyHeap = {
+      val heap = new LongKeyHeap(64)
+      if (entries.length > 0)
+        heap.enqueue(boxDist2(levelEnvs(top), 0, px, py), top.toLong << 32)
+      heap
+    }
+
+    /** Enqueue a popped node's children. `prune` = MinMaxDist cut, valid
+      * ONLY for 1-NN (it discards anything provably farther than the
+      * nearest entry); the distance-ordered iterator must keep everything.
+      */
+    @inline private def expand(heap: LongKeyHeap, v: Long,
+        px: Double, py: Double, bound: Double, prune: Boolean): Double = {
+      var b = bound
+      val level = (v >>> 32).toInt
+      val idx = (v & 0xffffffffL).toInt
+      val from = childStart(level)(idx)
+      val to = childEnd(level)(idx)
+      if (level == 0) {
+        var i = from
+        while (i < to) {
+          val dd = boxDist2(entryEnvs, 4 * i, px, py)
+          if (!prune || dd <= b) heap.enqueue(dd, ENTRY | i)
+          i += 1
+        }
+      } else {
+        val a = levelEnvs(level - 1)
+        var i = from
+        while (i < to) {
+          val dd = boxDist2(a, 4 * i, px, py)
+          if (!prune || dd <= b) {
+            if (prune) {
+              val mm = minMaxDist2(a, 4 * i, px, py)
+              if (mm < b) b = mm
+            }
+            heap.enqueue(dd, ((level - 1).toLong << 32) | i)
+          }
+          i += 1
+        }
+      }
+      b
+    }
+
+    /** Exact 1-NN: entry index, or -1 on empty. `distOut(0)` = distance². */
+    def nearest(px: Double, py: Double, distOut: Array[Double]): Int = {
+      val heap = seedHeap(px, py)
+      var bound = Double.MaxValue
+      while (heap.nonEmpty) {
+        val k = heap.headKey
+        val v = heap.dequeue()
+        if ((v & ENTRY) != 0) { distOut(0) = k; return (v & 0xffffffffL).toInt }
+        bound = expand(heap, v, px, py, bound, prune = true)
+      }
+      -1
+    }
+
+    /** Distance-ordered stream of (entry index, distance²). */
+    def nearestIter(px: Double, py: Double): Iterator[(Int, Double)] =
+      new Iterator[(Int, Double)] {
+        private val heap = seedHeap(px, py)
+        private def settle(): Unit =
+          while (heap.nonEmpty && (heap.headVal & ENTRY) == 0)
+            expand(heap, heap.dequeue(), px, py, Double.MaxValue, prune = false)
+        def hasNext: Boolean = { settle(); heap.nonEmpty }
+        def next(): (Int, Double) = {
+          settle()
+          val k = heap.headKey
+          val v = heap.dequeue()
+          ((v & 0xffffffffL).toInt, k)
+        }
+      }
+
+    /** Push-based closed-box intersection over the flat levels. */
+    def foreachIntersecting(qMinX: Double, qMinY: Double, qMaxX: Double,
+        qMaxY: Double)(f: Entry[T] => Unit): Unit = {
+      if (entries.length == 0) return
+      def hit(a: Array[Double], off: Int): Boolean =
+        a(off) <= qMaxX && a(off + 2) >= qMinX &&
+          a(off + 1) <= qMaxY && a(off + 3) >= qMinY
+      def walk(level: Int, idx: Int): Unit = {
+        val from = childStart(level)(idx)
+        val to = childEnd(level)(idx)
+        if (level == 0) {
+          var i = from
+          while (i < to) {
+            if (hit(entryEnvs, 4 * i)) f(entries(i))
+            i += 1
+          }
+        } else {
+          val a = levelEnvs(level - 1)
+          var i = from
+          while (i < to) {
+            if (hit(a, 4 * i)) walk(level - 1, i)
+            i += 1
+          }
+        }
+      }
+      if (hit(levelEnvs(top), 0)) walk(top, 0)
+    }
+  }
+
+  private[index] object FlatMirror {
+    /** DFS flattening: children of each node land contiguously at the
+      * level below (uniform leaf depth is a tree invariant).
+      */
+    def build[T](root: Inner[T], size: Int): FlatMirror[T] = {
+      var h = 0
+      var n: Node[T] = root
+      while (n.isInstanceOf[Inner[_]]) {
+        h += 1
+        val in = n.asInstanceOf[Inner[T]]
+        n = in.children(0)
+      }
+      val levelEnvs = Array.fill(h)(new mutable.ArrayBuffer[Double])
+      val starts = Array.fill(h)(new mutable.ArrayBuffer[Int])
+      val ends = Array.fill(h)(new mutable.ArrayBuffer[Int])
+      val entriesB = new mutable.ArrayBuffer[Entry[T]](size)
+      val entryEnvsB = new mutable.ArrayBuffer[Double](size * 4)
+      def walk(in: Inner[T], depth: Int): Unit = {
+        val level = h - 1 - depth
+        val e = in.env
+        levelEnvs(level) += e.lower(0) += e.lower(1) += e.upper(0) += e.upper(1)
+        if (level == 0) {
+          starts(0) += entriesB.length
+          in.children.foreach { c =>
+            val en = c.asInstanceOf[Entry[T]]
+            entriesB += en
+            entryEnvsB += en.env.lower(0) += en.env.lower(1) +=
+              en.env.upper(0) += en.env.upper(1)
+          }
+          ends(0) += entriesB.length
+        } else {
+          starts(level) += levelEnvs(level - 1).length / 4
+          in.children.foreach(c => walk(c.asInstanceOf[Inner[T]], depth + 1))
+          ends(level) += levelEnvs(level - 1).length / 4
+        }
+      }
+      walk(root, 0)
+      new FlatMirror[T](entriesB.toArray[Entry[T]], entryEnvsB.toArray,
+        levelEnvs.map(_.toArray), starts.map(_.toArray), ends.map(_.toArray))
+    }
+  }
+
+  /** Primitive min-heap (double key, long payload) — no boxing anywhere. */
+  private[index] final class LongKeyHeap(initialCapacity: Int) {
+    private var keys = new Array[Double](initialCapacity)
+    private var vals = new Array[Long](initialCapacity)
+    private var n = 0
+    def nonEmpty: Boolean = n > 0
+    def headKey: Double = keys(0)
+    def headVal: Long = vals(0)
+    def enqueue(k: Double, v: Long): Unit = {
+      if (n == keys.length) {
+        keys = java.util.Arrays.copyOf(keys, n * 2)
+        vals = java.util.Arrays.copyOf(vals, n * 2)
+      }
+      var i = n
+      n += 1
+      while (i > 0) {
+        val parent = (i - 1) >> 1
+        if (keys(parent) <= k) { keys(i) = k; vals(i) = v; return }
+        keys(i) = keys(parent); vals(i) = vals(parent)
+        i = parent
+      }
+      keys(0) = k; vals(0) = v
+    }
+    def dequeue(): Long = {
+      val top = vals(0)
+      n -= 1
+      if (n > 0) {
+        val k = keys(n); val v = vals(n)
+        var i = 0
+        var child = 1
+        while (child < n) {
+          if (child + 1 < n && keys(child + 1) < keys(child)) child += 1
+          if (keys(child) >= k) child = n
+          else {
+            keys(i) = keys(child); vals(i) = vals(child)
+            i = child
+            child = 2 * i + 1
+          }
+        }
+        keys(i) = k; vals(i) = v
+      }
+      top
     }
   }
 
