@@ -144,11 +144,8 @@ object Bench {
     val hiN = math.min(cpus, 8)
     val loN = math.max(1, hiN / 4)
     val peakN = cpus
-    def run(n: Int, warm: Boolean): Double = {
+    def run(n: Int): Double = {
       val s = session(n)
-      // JIT is JVM-wide: one warm pass before the first measured run
-      // covers both parallelism levels.
-      if (warm) headline(s, nPages, entDir)
       val t0 = System.nanoTime()
       headline(s, nPages, entDir)
       val sec = (System.nanoTime() - t0) / 1e9
@@ -156,17 +153,18 @@ object Bench {
       nEnt / sec / 1e6 // M entity-rows/s through join+kNN
     }
     spark.stop()
-    // Scaling protocol: 4 INTERLEAVED (lo, hi) pairs, efficiency computed
+    // Scaling protocol: 5 INTERLEAVED (lo, hi) pairs, efficiency computed
     // per pair, MEDIAN of the pair efficiencies reported. Rationale: this
     // shared box carries 2-3x GC/IO noise spikes plus minutes-scale drift;
     // interleaving exposes both legs of a pair to the same conditions, so
-    // the per-pair ratio cancels correlated drift, and the median discards
-    // the pairs where an uncorrelated spike hit only one leg. (Round-1 used
-    // max-of-2-per-level, which let one slow hi leg sink the ratio.)
-    run(hiN, warm = true) // JVM-wide JIT warm-up, untimed
-    val nPairs = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAIRS", "4").toInt
+    // the per-pair ratio cancels correlated drift, and the odd-count median
+    // discards the pairs where an uncorrelated spike hit only one leg.
+    // (Round-1 used max-of-2-per-level, which let one slow hi leg sink the
+    // ratio to 0.648 in the driver record.)
+    run(hiN) // JVM-wide JIT warm-up, untimed
+    val nPairs = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAIRS", "5").toInt
     val pairs = (1 to nPairs).map { _ =>
-      (run(loN, warm = false), run(hiN, warm = false))
+      (run(loN), run(hiN))
     }
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
@@ -178,7 +176,7 @@ object Bench {
     val effs = pairs.map { case (lo, hi) => hi / (lo * (hiN.toDouble / loN)) }
     val eff = median(effs)
     // Peak is a capability number: max over the hi legs + one full-width run.
-    val tputPeak = math.max(pairs.map(_._2).max, run(peakN, warm = false))
+    val tputPeak = math.max(pairs.map(_._2).max, run(peakN))
 
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")

@@ -72,7 +72,12 @@ object PipelineOps {
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3,
       threshold: Double = 0.7, maxShingleDf: Int = 128): DataFrame = {
-    val sh = shingles(docs, n)
+    // The shingle table feeds four consumers (df counts, both sides of the
+    // candidate join, the verify join, per-doc counts): materialize it once
+    // (eager localCheckpoint) instead of re-running the explode per
+    // consumer — at scale this is the "shingle table" stage a real pipeline
+    // would persist anyway.
+    val sh = shingles(docs, n).localCheckpoint(true)
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
       .where(col("df") <= maxShingleDf)

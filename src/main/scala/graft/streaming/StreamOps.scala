@@ -38,6 +38,54 @@ object StreamOps {
         col("e.lon").as("x"), col("e.lat").as("y"))
       .withColumn("cell", stCell(grid)(col("x"), col("y")))
 
+  /** Streaming J1: entity stream ⋈ static tile layer. The tile side is
+    * exploded to covered cells once (static, so Spark broadcasts it under
+    * AQE thresholds); the stream side carries its cell id from
+    * [[entityStream]], and the join is a STATELESS stream-static inner
+    * equi-join on cell + the closed-interval containment predicate — no
+    * watermark needed, so it runs at ingest rate on any sink.
+    */
+  def tileJoinStream(entities: DataFrame, tiles: DataFrame,
+      grid: CellGrid): DataFrame = {
+    import graft.functions.SpatialFunctions.{stCoverCells, stContainsPoint}
+    val tileCelled = tiles.select(
+      col("tile_id"), col("minX"), col("minY"), col("maxX"), col("maxY"),
+      explode(stCoverCells(grid)(
+        col("minX"), col("minY"), col("maxX"), col("maxY"))).as("cell"))
+    entities.join(tileCelled, Seq("cell"))
+      .where(stContainsPoint(
+        col("minX"), col("minY"), col("maxX"), col("maxY"),
+        col("x"), col("y")))
+      .select(col("url"), col("warc_ts"), col("x"), col("y"), col("tile_id"))
+  }
+
+  /** Streaming K1 against a bounded static layer: exact 1-NN of every
+    * streamed entity, probing a broadcast packed tree ([[graft.index.PointRTree2D]])
+    * inside a deterministic typed map — the streaming analog of the
+    * reference's `nearest_neighbor` loop. For layers too large to
+    * broadcast, route the stream through micro-batch `foreachBatch` into
+    * the grid kNN join instead; this operator is the low-latency
+    * bounded-layer path (POI layers, beacon sets).
+    */
+  def nnStream(spark: SparkSession, entities: DataFrame,
+      ids: Array[Long], xs: Array[Double], ys: Array[Double]): DataFrame = {
+    import spark.implicits._
+    val treeB = spark.sparkContext.broadcast(
+      graft.index.PointRTree2D.build(ids, xs, ys))
+    entities.select(col("url"), col("x"), col("y"))
+      .as[(String, Double, Double)]
+      .map { case (url, x, y) =>
+        val t = treeB.value
+        var bestId = -1L
+        var bestD2 = Double.MaxValue
+        t.nearestK(x, y, 1, false) { (p, d2) =>
+          bestId = t.ids(p); bestD2 = d2
+        }
+        (url, x, y, bestId, bestD2)
+      }
+      .toDF("url", "x", "y", "nn_id", "nn_d2")
+  }
+
   /** Watermarked tumbling-window per-cell entity counts — the streaming
     * form of the build histogram (C2 stage 1): late pages beyond the
     * watermark are dropped, state stays bounded.

@@ -5,6 +5,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.data.PagesGen
+import graft.engine.{PointRow, QueryRow, SpatialOps}
 import graft.index.CellGrid
 import graft.streaming.StreamOps
 
@@ -58,5 +59,88 @@ class StreamSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == batch)
     assert(batch.values.sum > 0)
+  }
+
+  test("streaming tile join == batch intersection join on the same input " +
+    "(stateless stream-static equi-join)") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val grid = CellGrid.lonLat(4)
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_j").toString
+    PagesGen.pages(spark, 800, skewShare = 0.3).write
+      .mode("overwrite").parquet(dir)
+    val tiles = PagesGen.tiles(spark, 500, maxW = 2.0)
+      .select(col("tile_id"), col("minX"), col("minY"),
+        col("maxX"), col("maxY"))
+      .localCheckpoint(true)
+
+    val q = StreamOps.tileJoinStream(
+        StreamOps.entityStream(spark, dir, grid), tiles, grid)
+      .writeStream.format("memory").queryName("tile_join")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("tile_join")
+      .select("url", "x", "y", "tile_id").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+
+    // batch oracle: same entities, brute-force containment join
+    val ents = spark.read.parquet(dir)
+      .withColumn("e", explode(PagesGen.entities(col("text"))))
+      .select(col("url"), col("e.lon").as("x"), col("e.lat").as("y"))
+    val want = ents.crossJoin(tiles)
+      .where(col("x") >= col("minX") && col("x") <= col("maxX") &&
+        col("y") >= col("minY") && col("y") <= col("maxY"))
+      .select("url", "x", "y", "tile_id").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    assert(got == want)
+    assert(want.nonEmpty)
+  }
+
+  test("streaming 1-NN against a broadcast static layer == batch kNN join") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_nn").toString
+    PagesGen.pages(spark, 500, skewShare = 0.3).write
+      .mode("overwrite").parquet(dir)
+    val n = 3000
+    val ids = Array.tabulate(n)(_.toLong)
+    val xs = Array.tabulate(n)(i => PagesGen.uniform(i, 11) * 360.0 - 180.0)
+    val ys = Array.tabulate(n)(i => PagesGen.uniform(i, 12) * 170.0 - 85.0)
+
+    val grid = CellGrid.lonLat(4)
+    val q = StreamOps.nnStream(spark,
+        StreamOps.entityStream(spark, dir, grid), ids, xs, ys)
+      .writeStream.format("memory").queryName("nn_stream")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("nn_stream").collect()
+      .map(r => ((r.getString(0), r.getDouble(1), r.getDouble(2)),
+        (r.getLong(3), r.getDouble(4))))
+      .toMap
+
+    // batch oracle: grid kNN join (itself oracle-proven) over the same input
+    val ents = spark.read.parquet(dir)
+      .withColumn("e", explode(PagesGen.entities(col("text"))))
+      .select(col("url"), col("e.lon").as("x"), col("e.lat").as("y"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    val pois = (0 until n).map(i => PointRow(ids(i), xs(i), ys(i))).toDS()
+    val queries = ents.zipWithIndex
+      .map { case ((_, x, y), i) => QueryRow(i.toLong, x, y) }.toSeq.toDS()
+    val batchNN = SpatialOps.knnJoin(queries, pois, 1, grid)
+      .select("qid", "id", "d2").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    ents.zipWithIndex.foreach { case ((url, x, y), i) =>
+      val (gotId, gotD2) = got((url, x, y))
+      val (wantId, wantD2) = batchNN(i.toLong)
+      // ids may differ on exact ties; distances must be float-identical
+      assert(gotD2 == wantD2, s"d2 mismatch at $url: $gotD2 vs $wantD2")
+      if (gotD2 != wantD2 || gotId != wantId)
+        assert(gotD2 == wantD2)
+    }
+    assert(ents.nonEmpty)
   }
 }
