@@ -136,6 +136,18 @@ object Queries {
       .orderBy("qid", "rn")
   }
 
+  /** Same exact kNN join answered through the dense-cell path — per-cell
+    * packed-tree probes over co-partitioned InternalRows — so the driver
+    * oracle pins the fused execution path too, not just the window plan.
+    */
+  def knnJoinTrees(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val data = points(load(spark, dir, "customer"), "c_custkey").as[PointRow]
+    SpatialOps.knnJoinTrees(nationQueries(spark, dir), data, K, grid)
+      .withColumn("rn", col("rn").cast("long"))
+      .orderBy("qid", "rn")
+  }
+
   val knnJoinSql: String =
     s"""WITH d AS (${pointsSql("customer", "c_custkey")}),
        |q AS (SELECT CAST(n_nationkey AS BIGINT) AS qid,

@@ -80,55 +80,115 @@ object SpatialOps {
       .select(col("lid"), col("rid"))
   }
 
-  /** Same join through the two-level index: both sides shuffled once by
-    * cell (`cogroup` co-partitions them), then a per-cell `LocalRTree` is
-    * bulk-loaded on the smaller side and probed with the larger —
-    * index-nested-loop inside each partition, the distributed analog of the
-    * reference's synchronized dual-tree descent
-    * (rstar/src/algorithm/intersection_iterator.rs:15-104).
+  /** Same join through the two-level index: both sides hash-co-partitioned
+    * and sorted by cell through the DataFrame API, then joined as a zip of
+    * InternalRow iterators — a synchronized merge over the sorted cell
+    * runs builds a per-cell `LocalRTree` on the smaller run (whose frozen
+    * SoA mirror serves the probes) and probes it with the larger:
+    * index-nested-loop inside each partition, the distributed analog of
+    * the reference's synchronized dual-tree descent
+    * (rstar/src/algorithm/intersection_iterator.rs:15-104). Like
+    * [[probeRows]], the big sides never touch a Dataset encoder.
     */
   def intersectionJoinTree(
       left: Dataset[RectRow], right: Dataset[RectRow],
       grid: CellGrid): Dataset[(Long, Long)] = {
     val spark = left.sparkSession
     import spark.implicits._
-    val l = left.flatMap { r =>
-      grid.cover(AABB.of2d(r.minX, r.minY, r.maxX, r.maxY)).map(c => (c, r))
-    }
-    val r = right.flatMap { t =>
-      grid.cover(AABB.of2d(t.minX, t.minY, t.maxX, t.maxY)).map(c => (c, t))
-    }
-    l.groupByKey(_._1).cogroup(r.groupByKey(_._1)) { (cell, ls, rs) =>
-      val la = ls.map(_._2).toArray
-      val ra = rs.map(_._2).toArray
-      if (la.isEmpty || ra.isEmpty) Iterator.empty
-      else {
-        def box(t: RectRow) = AABB.of2d(t.minX, t.minY, t.maxX, t.maxY)
-        def emit(a: RectRow, b: RectRow): Boolean =
-          grid.cellId(math.max(a.minX, b.minX), math.max(a.minY, b.minY)) == cell
-        // Index the smaller side, probe with the larger (fewer tree builds);
-        // push-based probe (foreachIntersecting) — no per-probe allocation.
-        val out = Vector.newBuilder[(Long, Long)]
-        if (la.length <= ra.length) {
-          val tree = new LocalRTree[RectRow](2, 40, 1)
-            .bulkLoad(la.map(t => Entry(box(t), t)))
-          ra.foreach { b =>
-            tree.foreachIntersecting(box(b)) { a =>
-              if (emit(a.value, b)) out += ((a.value.id, b.id))
+    val parts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    def celled(ds: Dataset[RectRow]): DataFrame = ds.toDF()
+      .select(
+        explode(stCoverCells(grid)(
+          col("minX"), col("minY"), col("maxX"), col("maxY"))).as("cell"),
+        col("id"), col("minX"), col("minY"), col("maxX"), col("maxY"))
+      .repartition(parts, col("cell")).sortWithinPartitions("cell")
+    val lr = celled(left).queryExecution.toRdd
+    val rr = celled(right).queryExecution.toRdd
+    val g = grid
+    val rdd = lr.zipPartitions(rr) { (lit, rit) =>
+      import scala.collection.mutable
+      // primitive look-ahead per side (rows are reused by the reader)
+      final class Side(it: Iterator[org.apache.spark.sql.catalyst.InternalRow]) {
+        var pending = false
+        var cell = 0L
+        var id = 0L
+        val box = new Array[Double](4)
+        def advance(): Unit =
+          if (it.hasNext) {
+            val r = it.next()
+            cell = r.getLong(0); id = r.getLong(1)
+            box(0) = r.getDouble(2); box(1) = r.getDouble(3)
+            box(2) = r.getDouble(4); box(3) = r.getDouble(5)
+            pending = true
+          } else pending = false
+        def skipRun(): Unit = { val c = cell; while (pending && cell == c) advance() }
+        /** Load the current cell's run into SoA buffers; returns count. */
+        def loadRun(ids: mutable.ArrayBuffer[Long],
+            boxes: mutable.ArrayBuffer[Double]): Int = {
+          ids.clear(); boxes.clear()
+          val c = cell
+          while (pending && cell == c) {
+            ids += id
+            boxes += box(0) += box(1) += box(2) += box(3)
+            advance()
+          }
+          ids.length
+        }
+      }
+      val ls = new Side(lit); ls.advance()
+      val rs = new Side(rit); rs.advance()
+      val lIds = mutable.ArrayBuffer.empty[Long]
+      val lBoxes = mutable.ArrayBuffer.empty[Double]
+      val rIds = mutable.ArrayBuffer.empty[Long]
+      val rBoxes = mutable.ArrayBuffer.empty[Double]
+      val out = mutable.Queue.empty[(Long, Long)]
+
+      def joinCell(cell: Long): Unit = {
+        val nl = lIds.length; val nr = rIds.length
+        // index the smaller run, probe with the larger (fewer tree builds)
+        val (bIds, bBoxes, pIds, pBoxes, leftIsBuild) =
+          if (nl <= nr) (lIds, lBoxes, rIds, rBoxes, true)
+          else (rIds, rBoxes, lIds, lBoxes, false)
+        val entries = Array.tabulate(bIds.length) { i =>
+          Entry(AABB.of2d(bBoxes(4 * i), bBoxes(4 * i + 1),
+            bBoxes(4 * i + 2), bBoxes(4 * i + 3)), bIds(i))
+        }
+        val tree = new LocalRTree[Long](2, 40, 1).bulkLoad(entries)
+        var j = 0
+        while (j < pIds.length) {
+          val pMinX = pBoxes(4 * j); val pMinY = pBoxes(4 * j + 1)
+          val q = AABB.of2d(pMinX, pMinY, pBoxes(4 * j + 2), pBoxes(4 * j + 3))
+          val pid = pIds(j)
+          tree.foreachIntersecting(q) { e =>
+            // reference-point dedup: emit in the intersection's lower cell
+            val bMinX = e.env.lower(0); val bMinY = e.env.lower(1)
+            if (g.cellId(math.max(pMinX, bMinX), math.max(pMinY, bMinY)) == cell) {
+              if (leftIsBuild) out.enqueue((e.value, pid))
+              else out.enqueue((pid, e.value))
             }
           }
-        } else {
-          val tree = new LocalRTree[RectRow](2, 40, 1)
-            .bulkLoad(ra.map(t => Entry(box(t), t)))
-          la.foreach { a =>
-            tree.foreachIntersecting(box(a)) { b =>
-              if (emit(a, b.value)) out += ((a.id, b.value.id))
+          j += 1
+        }
+      }
+
+      new Iterator[(Long, Long)] {
+        private def fill(): Unit = {
+          while (out.isEmpty && ls.pending && rs.pending) {
+            if (ls.cell < rs.cell) ls.skipRun()
+            else if (rs.cell < ls.cell) rs.skipRun()
+            else {
+              val c = ls.cell
+              ls.loadRun(lIds, lBoxes)
+              rs.loadRun(rIds, rBoxes)
+              joinCell(c)
             }
           }
         }
-        out.result().iterator
+        def hasNext: Boolean = { fill(); out.nonEmpty }
+        def next(): (Long, Long) = { fill(); out.dequeue() }
       }
     }
+    spark.createDataset(rdd)
   }
 
   /** Skew-aware variant of [[intersectionJoinTree]] (north_rule: hot dense

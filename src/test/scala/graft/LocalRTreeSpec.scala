@@ -49,6 +49,45 @@ class LocalRTreeSpec extends AnyFunSuite {
   private val P1000 = points(1000, seed = 1)
   private val QUERIES = points(100, seed = 2)
 
+  test("integer scalar coordinates behave exactly (create_random_integers, " +
+    "test_utilities.rs:11-21; point.rs:391-408): ints embed losslessly in " +
+    "the double domain up to 2^53") {
+    // random signed ints in a wide range; all arithmetic the tree performs
+    // (subtraction, squaring, sums of 2 squares) stays < 2^53 → every
+    // distance and comparison is EXACT, reproducing the reference's
+    // integer-scalar semantics without a second scalar type
+    def ri(seed: Long, i: Long): Long =
+      splitmix64(seed * 31 + i) % 1000000L
+    val n = 800
+    val ps = Array.tabulate(n)(i =>
+      Array(ri(3, 2L * i).toDouble, ri(3, 2L * i + 1).toDouble))
+    val t = pointTree(ps)
+    t.sanityCheck()
+    // integer NN vs brute force with pure-integer arithmetic
+    (0 until 50).foreach { q =>
+      val qp = Array(ri(11, 2L * q).toDouble, ri(11, 2L * q + 1).toDouble)
+      val got = t.nearestNeighbor(qp).get
+      def d2i(p: Array[Double]): Long = {
+        val dx = p(0).toLong - qp(0).toLong
+        val dy = p(1).toLong - qp(1).toLong
+        dx * dx + dy * dy
+      }
+      val want = ps.map(d2i).min
+      assert(got._2.toLong == want, s"query $q: ${got._2} vs $want")
+      assert(got._2 == got._2.toLong.toDouble, "distance must be an exact int")
+    }
+    // integer box query vs filter — closed intervals on exact int borders
+    val (lo, hi) = (200000L, 700000L)
+    val inBox = ps.zipWithIndex.filter { case (p, _) =>
+      p(0) >= lo && p(0) <= hi && p(1) >= lo && p(1) <= hi
+    }.map(_._2).toSet
+    val box = AABB.of2d(lo.toDouble, lo.toDouble, hi.toDouble, hi.toDouble)
+    val got = scala.collection.mutable.Set.empty[Int]
+    t.foreachIntersecting(box)(e => got += e.value)
+    assert(got.toSet == inBox)
+    assert(inBox.nonEmpty)
+  }
+
   test("bulk load preserves the exact element multiset across sizes 0..693 step 7 " +
     "(bulk_load_sequential.rs:124-151)") {
     (0 to 693 by 7).foreach { n =>
