@@ -79,14 +79,19 @@ object PipelineOps {
     // would persist anyway.
     val sh = shingles(docs, n).localCheckpoint(true)
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-      .where(col("df") <= maxShingleDf)
-      .select("shingle")
-    val shCand = sh.join(rare, Seq("shingle"), "left_semi")
-    val cand = shCand.as("a").join(shCand.as("b"),
-        col("a.shingle") === col("b.shingle") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a"), col("b.doc_id").as("b"))
+    // Candidates in ONE shuffle: group by shingle, keep lists bounded by
+    // the df cap (so collect_list is memory-safe by construction), emit
+    // each list's doc pairs with array HOFs — equivalent to the shingle
+    // self-join but without shuffling the shingle table twice.
+    val docList = sh.groupBy("shingle")
+      .agg(array_sort(collect_list(col("doc_id"))).as("ds"))
+      .where(size(col("ds")).between(2, maxShingleDf))
+    val pairsOfList = flatten(transform(col("ds"), (x, i) =>
+      transform(slice(col("ds"), i + lit(2), size(col("ds"))), y =>
+        struct(x.as("a"), y.as("b")))))
+    val cand = docList
+      .select(explode(pairsOfList).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
       .distinct()
     // exact intersection over ALL shingles, candidates only
     val inter = cand
