@@ -54,16 +54,14 @@ object OracleHash {
   // -------------------------------------------------- 31-bit string hash
 
   /** Polynomial rolling hash of a string column: fold
-    * h = (h·31 + codepoint) mod P31 over the characters. The split("")
-    * trailing-empty-string artifact (Java regex split keeps it under
-    * limit -1) is filtered so the Spark fold sees exactly the characters
-    * DuckDB's string_split(s, '') yields.
+    * h = (h·31 + codepoint) mod P31 over the characters — evaluated by the
+    * native codegen expression [[StrHash31]] (one JVM loop per row; the
+    * equivalent per-character HOF chain costs a lambda dispatch and a
+    * single-char UTF8String per step).
     */
   def polyHash31(s: Column): Column =
-    aggregate(
-      filter(split(s, ""), c => length(c) > 0),
-      lit(0L),
-      (h, c) => (h * lit(31L) + ascii(c)) % lit(P31))
+    org.apache.spark.sql.graft.ColumnShim.column(
+      StrHash31(org.apache.spark.sql.graft.ColumnShim.expression(s)))
 
   /** DuckDB twin of [[polyHash31]]. */
   def polyHash31Sql(s: String): String =

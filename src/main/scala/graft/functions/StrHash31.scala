@@ -1,0 +1,60 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expression for the 31-bit polynomial string hash
+  * (OracleHash): h = fold (h·31 + codepoint) mod (2^31 - 1).
+  *
+  * Semantically identical to the column-API fold
+  * `aggregate(split(s,""), 0L, (h,c) => (h*31 + ascii(c)) % P31)` and to
+  * the DuckDB twin `list_reduce(list_prepend(0, list_transform(
+  * string_split(s,''), c -> ascii(c))), ...)` — but evaluated as ONE tight
+  * JVM loop per row instead of a per-character higher-order-function chain
+  * (each HOF step pays a lambda dispatch and a single-char UTF8String), so
+  * the minhash/simhash/clean-corpus shingle hashing stays cheap at scale.
+  * Iterates CODEPOINTS (not UTF-16 units) to match DuckDB's per-character
+  * ascii() on non-BMP input too.
+  *
+  * Participates in whole-stage codegen via a static call — the same
+  * pattern Spark's own string intrinsics use.
+  */
+case class StrHash31(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"strhash31 needs a string argument, got ${child.dataType}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "strhash31"
+
+  protected override def nullSafeEval(input: Any): Any =
+    StrHash31.hash(input.asInstanceOf[UTF8String])
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.StrHash31.hash($c)")
+
+  protected override def withNewChildInternal(newChild: Expression): StrHash31 =
+    copy(child = newChild)
+}
+
+object StrHash31 {
+  final val P31 = 2147483647L
+
+  /** Called from both interpreted eval and generated code. */
+  def hash(s: UTF8String): Long = {
+    val str = s.toString
+    var h = 0L
+    var i = 0
+    val n = str.length
+    while (i < n) {
+      val cp = str.codePointAt(i)
+      h = (h * 31 + cp) % P31
+      i += Character.charCount(cp)
+    }
+    h
+  }
+}

@@ -216,5 +216,9 @@ object GraftFunctions {
     ("st_line_distance_sq",
       info("st_line_distance_sq",
         "squared distance from point to segment (x1, y1, x2, y2, px, py)"),
-      lineDist2 _))
+      lineDist2 _),
+    ("strhash31",
+      info("strhash31",
+        "31-bit polynomial codepoint hash mod 2^31-1 (oracle-expressible)"),
+      (es: Seq[Expression]) => graft.functions.StrHash31(es.head)))
 }

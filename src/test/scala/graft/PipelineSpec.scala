@@ -72,6 +72,40 @@ class PipelineSpec extends AnyFunSuite {
       "random pairs should be far apart in simhash space")
   }
 
+  test("StrHash31 native expression == HOF fold == local codepoint fold " +
+    "(incl. non-BMP), inside whole-stage codegen") {
+    import spark.implicits._
+    import graft.functions.{OracleHash, StrHash31}
+    val fixtures = Seq("abc", "", "key agg row", "a😀b", "日本語 text")
+      .toDF("s")
+    // the column-API fold StrHash31 replaced (kept here as the semantic twin)
+    val hof = aggregate(
+      filter(split(col("s"), ""), c => length(c) > 0),
+      lit(0L), (h, c) => (h * lit(31L) + ascii(c)) % lit(OracleHash.P31))
+    val rows = fixtures
+      .select(col("s"), OracleHash.polyHash31(col("s")).as("native"),
+        hof.as("hofv"))
+      .collect()
+    rows.foreach { r =>
+      val s = r.getString(0)
+      val local = s.codePoints().toArray.foldLeft(0L)((h, c) =>
+        (h * 31 + c) % OracleHash.P31)
+      assert(r.getLong(1) == local, s"native mismatch on '$s'")
+      // HOF path splits UTF-16 units, so it only agrees on BMP input — the
+      // native expression follows DuckDB's codepoint semantics
+      if (!s.exists(Character.isSurrogate))
+        assert(r.getLong(2) == local, s"HOF twin mismatch on '$s'")
+    }
+    assert(StrHash31.hash(
+      org.apache.spark.unsafe.types.UTF8String.fromString("abc")) == 96354L)
+    // stays in whole-stage codegen on a real scan (a local Seq collapses
+    // to LocalTableScan with interpreted eval — not the hot path)
+    val plan = docs.select(OracleHash.polyHash31(col("text")))
+      .queryExecution.executedPlan.toString
+    // "*(n)" prefixes mark operators inside a WholeStageCodegen stage
+    assert(plan.contains("*(1) Project [strhash31"), plan)
+  }
+
   test("token stats agree with a local recount") {
     val got = PipelineOps.tokenStats(docs).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
