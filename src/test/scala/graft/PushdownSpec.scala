@@ -53,4 +53,41 @@ class PushdownSpec extends AnyFunSuite {
     assert(plan2.contains("PushedFilters") && plan2.contains("LessThanOrEqual(x,10.0)"))
     assert(q2.count() == n)
   }
+
+  test("persisted index probe pushes the covered-cells IN predicate to the " +
+    "tree table's parquet scan (partition pruning over stored trees)") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    import graft.engine.{IndexStore, PointRow}
+    import graft.index.CellGrid
+    val grid = CellGrid.lonLat(4)
+    val root = java.nio.file.Files.createTempDirectory("graft_push_idx").toString
+    val pts = spark.range(4000).map { id =>
+      PointRow(id, PagesGen.uniform(id, 1) * 360 - 180,
+        PagesGen.uniform(id, 2) * 170 - 85)
+    }
+    IndexStore.build(spark, pts, grid, root, nGroups = 4)
+    val probe = IndexStore.rangeQuery(spark, root, grid, -10.0, 0.0, 10.0, 20.0)
+    val plan = probe.queryExecution.executedPlan.toString
+    // the IN(cell, ...) filter must reach the scan so only covered cells'
+    // tree blobs are ever read — the persisted analog of subtree pruning
+    assert(plan.contains("PushedFilters") && plan.contains("In(cell"),
+      s"cell pruning not pushed:\n$plan")
+    assert(probe.count() > 0)
+  }
+
+  test("exact IVF top-k plan: cluster stats are broadcast, no cartesian " +
+    "product over the data side") {
+    spark.sparkContext.setLogLevel("ERROR")
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val plan = graft.pipeline.PipelineOps.annIvfTopK(emb, 10, 10, 32)
+      .queryExecution.executedPlan.toString
+    // queries x clusters and vectors x seeds are bounded broadcast
+    // cross-products (the histogram analog); the DATA side must only ever
+    // meet candidates through hash joins on cluster/qid
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"),
+      s"unbroadcast cartesian over data:\n${plan.take(2000)}")
+  }
 }
