@@ -165,6 +165,26 @@ object PipelineQueries {
        |WHERE d2.lang IN ('en', 'de', 'fr', 'es')
        |ORDER BY doc_id""".stripMargin
 
+  // ----------------------------------------------------- fingerprinting
+
+  def fingerprints(spark: SparkSession, dir: String): DataFrame =
+    PipelineOps.fingerprints(load(spark, dir, "documents"))
+      .orderBy("doc_id", "fp")
+
+  val fingerprintsSql: String = {
+    val (k, w) = (16, 8)
+    s"""WITH t AS (SELECT doc_id, text,
+       |    unnest(range(1, LENGTH(text) - $k + 2)) AS p
+       |  FROM documents WHERE LENGTH(text) >= $k),
+       |g AS (SELECT doc_id, p,
+       |  ${OracleHash.polyHash31Sql(s"substr(text, p::BIGINT, $k)")} AS h FROM t),
+       |win AS (SELECT doc_id, p, MIN(h) OVER (PARTITION BY doc_id ORDER BY p
+       |    ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS fp,
+       |  COUNT(*) OVER (PARTITION BY doc_id) AS n FROM g)
+       |SELECT DISTINCT doc_id, fp FROM win WHERE p <= n - $w + 1
+       |ORDER BY doc_id, fp""".stripMargin
+  }
+
   // --------------------------------------------------------- text stats
 
   def tokenStats(spark: SparkSession, dir: String): DataFrame =

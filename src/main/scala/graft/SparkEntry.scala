@@ -40,6 +40,7 @@ object SparkEntry {
     "q_minhash_dup" -> (PipelineQueries.minhashDup(_, _)),
     "q_clean_corpus" -> (PipelineQueries.cleanCorpus(_, _)),
     "q_simhash" -> (PipelineQueries.simhash(_, _)),
+    "q_fingerprints" -> (PipelineQueries.fingerprints(_, _)),
     "q_token_stats" -> (PipelineQueries.tokenStats(_, _)),
     "q_text_quality" -> (PipelineQueries.textQuality(_, _)),
     "q_lang_id" -> (PipelineQueries.langId(_, _)),
@@ -82,6 +83,7 @@ object SparkEntry {
     "q_simhash" -> PipelineQueries.simhashSql,
     "q_clean_corpus" -> PipelineQueries.cleanCorpusSql,
     "q_lang_id" -> PipelineQueries.langIdSql,
+    "q_fingerprints" -> PipelineQueries.fingerprintsSql,
     "q_token_stats" -> PipelineQueries.tokenStatsSql,
     "q_text_quality" -> PipelineQueries.textQualitySql,
     "q_ann_topk" -> PipelineQueries.annTopKSql,

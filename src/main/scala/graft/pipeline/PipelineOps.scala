@@ -202,6 +202,35 @@ object PipelineOps {
         .as("simhash"))
   }
 
+  // ------------------------------------------------------- fingerprinting
+
+  /** Winnowing document fingerprints (Schleimer-Wilkerson-Aiken 2003, the
+    * MOSS scheme): hash every character k-gram with the rolling 31-bit
+    * polynomial hash, then keep each w-window's minimum hash — any two
+    * documents sharing a substring of length ≥ w+k-1 are guaranteed to
+    * share a fingerprint, while only ~2/(w+1) of the grams survive. Output:
+    * DISTINCT (doc_id, fp). Pure window/column arithmetic (StrHash31 +
+    * sliding MIN), integer-exact, so it carries a DuckDB oracle.
+    */
+  def fingerprints(docs: DataFrame, k: Int = 16, w: Int = 8): DataFrame = {
+    import graft.functions.OracleHash
+    val grams = docs
+      .where(length(col("text")) >= k)
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(1), length(col("text")) - lit(k - 1)),
+          i => OracleHash.polyHash31(col("text").substr(i, lit(k))))))
+      .withColumnRenamed("pos", "p").withColumnRenamed("col", "h")
+    val win = Window.partitionBy("doc_id").orderBy("p")
+      .rowsBetween(Window.currentRow, w - 1)
+    grams
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .withColumn("fp", min("h").over(win))
+      .where(col("p") <= col("n") - w) // full windows only (p is 0-based)
+      .select("doc_id", "fp")
+      .distinct()
+  }
+
   // ----------------------------------------------------------- text stats
 
   /** Token/char statistics with integer-exact arithmetic (space counting —

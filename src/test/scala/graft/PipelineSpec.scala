@@ -106,6 +106,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(plan.contains("*(1) Project [strhash31"), plan)
   }
 
+  test("winnowing fingerprints: the shared-substring guarantee holds, " +
+    "duplicates collide fully, disjoint docs do not") {
+    import spark.implicits._
+    import graft.pipeline.PipelineOps.fingerprints
+    val (k, w) = (16, 8)
+    val shared = "the quick brown fox jumps over the lazy dog again"
+    require(shared.length >= w + k - 1)
+    val fixture = Seq(
+      (1L, s"aaaa bbbb cccc $shared dddd eeee"),
+      (2L, s"zzzz yyyy $shared xxxx wwww vvvv"),
+      (3L, (1L to 12L).map(i => s"w${i * 7 % 97}q${i}").mkString(" ")),
+      (4L, s"aaaa bbbb cccc $shared dddd eeee") // exact dup of 1
+    ).toDF("doc_id", "text")
+    val fp = fingerprints(fixture, k, w).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // guarantee: a shared substring of length >= w+k-1 forces >= 1 shared
+    // fingerprint (Schleimer et al. 2003, theorem 1)
+    assert((fp(1L) & fp(2L)).nonEmpty, "winnowing guarantee violated")
+    // byte-identical docs fingerprint identically
+    assert(fp(1L) == fp(4L))
+    // disjoint content: no collisions expected at 31-bit hashes / this size
+    assert((fp(1L) & fp(3L)).isEmpty)
+    // density: winnowing keeps roughly 2/(w+1) of gram positions, far
+    // fewer fingerprints than grams
+    val nGrams1 = fixture.where(col("doc_id") === 1L)
+      .select(length(col("text"))).collect()(0).getInt(0) - k + 1
+    assert(fp(1L).size < nGrams1 / 2)
+  }
+
   test("token stats agree with a local recount") {
     val got = PipelineOps.tokenStats(docs).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
