@@ -113,7 +113,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val nPages = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "6000000").toLong
+    // 5 M pages ≈ 7.9 M entities: legs stay long enough to dominate fixed
+    // costs (lo ≈ 50 s, hi ≈ 17 s) while the whole 5-pair protocol + the
+    // 34-query suite stays well inside any plausible harness timeout.
+    val nPages = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "5000000").toLong
 
     // Part 1: operator suite at full parallelism. One untimed warm pass
     // first — cold numbers measure JIT, not the operators (observed 10-30x
