@@ -388,7 +388,15 @@ object Queries {
   def persistedRange(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val pts = points(load(spark, dir, "customer"), "c_custkey").as[PointRow]
-    val root = s"/tmp/graft_pidx_v2_${new java.io.File(dir).getName}"
+    // root is keyed by a content fingerprint (row count + key extremes —
+    // answered from parquet footer stats), so a regenerated input can never
+    // silently serve a stale committed index from an earlier run
+    val fp = load(spark, dir, "customer")
+      .agg(count(lit(1)),
+        min(col("c_custkey")).cast("long"), max(col("c_custkey")).cast("long"))
+      .collect()(0)
+    val root = s"/tmp/graft_pidx_v3_${new java.io.File(dir).getName}" +
+      s"_${fp.getLong(0)}_${fp.getLong(1)}_${fp.getLong(2)}"
     IndexStore.build(spark, pts, grid, root)
     IndexStore.rangeQuery(spark, root, grid, QB._1, QB._2, QB._3, QB._4)
       .orderBy("id")

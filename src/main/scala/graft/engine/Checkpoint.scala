@@ -105,11 +105,16 @@ final class Checkpoint(spark: SparkSession, root: String) {
 
   /** One row per (stage, grp): the latest attempt only (earlier attempts of
     * a group whose commit marker never landed are superseded, not summed).
+    * Ordered by wall-clock `committed_at` first (ISO-8601 sorts
+    * chronologically and survives JVM restarts/reboots — nanoTime origins
+    * are arbitrary per JVM), with the in-JVM `attempt` as the tiebreak for
+    * same-instant retries.
     */
   def lineage(): DataFrame = {
     val raw = spark.read.parquet(s"$root/_lineage")
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("stage", "grp").orderBy(col("attempt").desc)
+      .partitionBy("stage", "grp")
+      .orderBy(col("committed_at").desc, col("attempt").desc)
     raw.withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1).drop("__rn")
   }

@@ -360,21 +360,25 @@ object SpatialOps {
     * packed tree probes at ~2.8 µs/NN but object ser/deser dominated).
     * Only the (small, ≤ queries·cells·k) result pays row construction.
     *
-    * `cand` columns: (cell, qid, qx, qy); `data` columns: (cell, id, x, y).
-    * Output: (qid, id, d2) — each candidate query's per-cell top-k.
+    * `cand` columns: (cell, qid, qx, qy); `dataRdd` must already be
+    * hash-partitioned into `parts` partitions by cell and sorted by cell
+    * within each (rows: cell, id, x, y) — callers shuffle the big side
+    * ONCE and reuse it across probe passes.
+    * Output: (qid, id, d2) — each candidate query's per-cell top-k,
+    * extended through boundary ties (distance float-equal to the k-th) so
+    * a downstream (d2, id) window cut is exact even when a cell holds more
+    * than k points tied at the k-th distance.
     */
   private def probeRows(
-      cand: DataFrame, data: DataFrame, k: Int, keepTies: Boolean,
-      parts: Int): DataFrame = {
-    val spark = data.sparkSession
+      cand: DataFrame,
+      dataRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      k: Int, parts: Int, spark: SparkSession): DataFrame = {
     import spark.implicits._
     // Identical HashPartitioning(cell, parts) on both sides → identical
     // row→partition assignment → zipPartitions is a co-partitioned cogroup.
     val c = cand.select("cell", "qid", "qx", "qy")
       .repartition(parts, col("cell")).sortWithinPartitions("cell")
-    val d = data.select("cell", "id", "x", "y")
-      .repartition(parts, col("cell")).sortWithinPartitions("cell")
-    val rdd = c.queryExecution.toRdd.zipPartitions(d.queryExecution.toRdd) {
+    val rdd = c.queryExecution.toRdd.zipPartitions(dataRdd) {
       (qit, dit) =>
         new Iterator[(Long, Long, Double)] {
           // Primitive one-row look-ahead on the data side: the shuffle
@@ -424,7 +428,10 @@ object SpatialOps {
               val qy = q.getDouble(3)
               if (cell != dCell) loadRun(cell)
               if (tree != null) {
-                tree.nearestK(qx, qy, k, keepTies) { (p, d2) =>
+                // keepTies=true ALWAYS: emit everything float-equal to the
+                // k-th distance so the final (d2, id) window never loses a
+                // lower-id point the heap's arbitrary tie order dropped
+                tree.nearestK(qx, qy, k, true) { (p, d2) =>
                   buf.enqueue((qid, tree.ids(p), d2))
                 }
               }
@@ -463,8 +470,16 @@ object SpatialOps {
     val hist: Map[Long, Long] = histRows.toMap
     val histB = spark.sparkContext.broadcast(hist)
 
+    // Shuffle + sort the big data side ONCE; both probe passes zip against
+    // the same materialized layout (localCheckpoint pins the physical
+    // 32-way hash partitioning, so pass B pays no second data shuffle).
+    val dataShuffled = dataCelled
+      .repartition(parts, col("cell")).sortWithinPartitions("cell")
+      .localCheckpoint(true)
+    val dataRdd = dataShuffled.queryExecution.toRdd
+
     def probe(cand: DataFrame): DataFrame =
-      probeRows(cand, dataCelled, k, keepTies, parts)
+      probeRows(cand, dataRdd, k, parts, spark)
 
     // Pass A: ring expansion per query until ≥ k candidates are guaranteed;
     // probe those cells → d_up = the k-th candidate distance upper bound.

@@ -79,13 +79,19 @@ object PipelineOps {
     // would persist anyway.
     val sh = shingles(docs, n).localCheckpoint(true)
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    // Candidates in ONE shuffle: group by shingle, keep lists bounded by
-    // the df cap (so collect_list is memory-safe by construction), emit
-    // each list's doc pairs with array HOFs — equivalent to the shingle
-    // self-join but without shuffling the shingle table twice.
-    val docList = sh.groupBy("shingle")
+    // Candidate generation: a counted-df pre-filter FIRST (a plain count
+    // aggregate — constant memory per key even for a stop-shingle shared
+    // by 10^8 documents), then collect_list runs only on shingles already
+    // proven ≤ maxShingleDf, so the aggregation buffer is bounded by
+    // construction. Pairs come from each bounded list via array HOFs —
+    // the equivalent of the shingle self-join without shuffling the
+    // shingle table twice.
+    val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .where(col("df").between(2, maxShingleDf))
+      .select("shingle")
+    val docList = sh.join(rare, Seq("shingle"), "left_semi")
+      .groupBy("shingle")
       .agg(array_sort(collect_list(col("doc_id"))).as("ds"))
-      .where(size(col("ds")).between(2, maxShingleDf))
     val pairsOfList = flatten(transform(col("ds"), (x, i) =>
       transform(slice(col("ds"), i + lit(2), size(col("ds"))), y =>
         struct(x.as("a"), y.as("b")))))
@@ -552,7 +558,6 @@ object PipelineOps {
       blockSize: Int = 1024): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val dims = 64
     val blocks = emb
       .select((col("vec_id") / blockSize).cast("int").as("bid"),
         col("vec_id").as("id"), intVec(col("embedding")).as("v"))
@@ -561,9 +566,12 @@ object PipelineOps {
       .mapGroups { (bid, it) =>
         val rows = it.toArray.sortBy(_._2)
         val ids = rows.map(_._2)
+        val dims = rows(0)._3.length // dimensionality from the data itself
         val flat = new Array[Long](rows.length * dims)
         var i = 0
         while (i < rows.length) {
+          require(rows(i)._3.length == dims,
+            s"ragged embedding: ${rows(i)._3.length} vs $dims")
           System.arraycopy(rows(i)._3, 0, flat, i * dims, dims); i += 1
         }
         (bid, ids, flat)
@@ -577,6 +585,9 @@ object PipelineOps {
       .as[(Int, Array[Long], Array[Long], Int, Array[Long], Array[Long])]
     pairs.flatMap { case (lb, lids, lf, rb, rids, rf) =>
       val same = lb == rb
+      val dims = lf.length / lids.length
+      require(rf.length / rids.length == dims,
+        s"cross-block dim mismatch: ${rf.length / rids.length} vs $dims")
       val out = Vector.newBuilder[(Long, Long, Long)]
       var i = 0
       while (i < lids.length) {
