@@ -17,6 +17,21 @@ import TpchGeo.load
   */
 object PipelineQueries {
 
+  /** The documents table with scan parallelism leveled. The sandbox table
+    * is ONE small parquet file — one split — which would run every
+    * downstream shingle explode / HOF projection single-threaded (measured
+    * 6x on the shingle stage). At 100 TB the scan has thousands of splits
+    * and the guard makes this a no-op; the repartition only fires on
+    * under-split inputs, where the shuffled bytes are trivial by the same
+    * token.
+    */
+  private def docs(spark: SparkSession, dir: String): DataFrame = {
+    val d = load(spark, dir, "documents")
+    val cores = spark.sparkContext.defaultParallelism
+    if (d.queryExecution.toRdd.getNumPartitions < cores) d.repartition(cores)
+    else d
+  }
+
   // ------------------------------------------------- SQL twin generators
 
   /** CTE chain producing minhash-LSH verified near-dup `<p>pairs` (a, b,
@@ -80,33 +95,44 @@ object PipelineQueries {
   // ------------------------------------------------------------- dedup
 
   def dedupExact(spark: SparkSession, dir: String): DataFrame =
-    PipelineOps.exactDupGroups(load(spark, dir, "documents")).orderBy("h")
+    PipelineOps.exactDupGroups(docs(spark, dir)).orderBy("h")
 
   val dedupExactSql: String =
     """SELECT md5(text) AS h, MIN(doc_id) AS keeper, COUNT(*) AS dup_cnt
       |FROM documents GROUP BY md5(text) ORDER BY h""".stripMargin
 
   def ngramDup(spark: SparkSession, dir: String): DataFrame =
-    PipelineOps.ngramJaccardPairs(load(spark, dir, "documents"), 3, 0.7)
+    PipelineOps.ngramJaccardPairs(docs(spark, dir), 3, 0.7)
       .orderBy("a", "b")
 
+  /** Same function as the Spark plan BY CONSTRUCTION: candidates come only
+    * from shingles with df in [2, 128] (the operator's declared df cap),
+    * Jaccard is then exact over all shingles — so operator and oracle agree
+    * on every input, not just low-df fixtures.
+    */
   val ngramDupSql: String =
     """WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents
       |           WHERE len(string_split(text, ' ')) >= 3),
       |sh AS (SELECT DISTINCT doc_id,
       |  unnest(list_transform(range(1, len(l) - 1),
       |    i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS shingle FROM t),
-      |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-      |inter AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS c
+      |rare AS (SELECT shingle FROM sh GROUP BY shingle
+      |         HAVING COUNT(*) BETWEEN 2 AND 128),
+      |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
       |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
-      |  GROUP BY x.doc_id, y.doc_id)
+      |  JOIN rare r ON r.shingle = x.shingle),
+      |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (SELECT p.a, p.b, COUNT(*) AS c
+      |  FROM cand p JOIN sh x ON x.doc_id = p.a
+      |  JOIN sh y ON y.doc_id = p.b AND y.shingle = x.shingle
+      |  GROUP BY p.a, p.b)
       |SELECT i.a, i.b, CAST(i.c AS DOUBLE) / (ca.n + cb.n - i.c) AS jac
       |FROM inter i JOIN cnt ca ON ca.doc_id = i.a JOIN cnt cb ON cb.doc_id = i.b
       |WHERE CAST(i.c AS DOUBLE) / (ca.n + cb.n - i.c) >= 0.7
       |ORDER BY a, b""".stripMargin
 
   def minhashDup(spark: SparkSession, dir: String): DataFrame =
-    PipelineOps.minhashLshPairs(load(spark, dir, "documents"), 3, 0.7)
+    PipelineOps.minhashLshPairs(docs(spark, dir), 3, 0.7)
       .orderBy("a", "b")
 
   val minhashDupSql: String =
@@ -114,7 +140,7 @@ object PipelineQueries {
        |SELECT a, b, jac FROM m_pairs ORDER BY a, b""".stripMargin
 
   def simhash(spark: SparkSession, dir: String): DataFrame =
-    PipelineOps.simhash(load(spark, dir, "documents")).orderBy("doc_id")
+    PipelineOps.simhash(docs(spark, dir)).orderBy("doc_id")
 
   val simhashSql: String = {
     val (a1, b1) = PipelineOps.simhashPermHi
@@ -142,7 +168,7 @@ object PipelineQueries {
     * full DuckDB twin now that the near-dup stage is OracleHash-based.
     */
   def cleanCorpus(spark: SparkSession, dir: String): DataFrame =
-    PipelineOps.cleanCorpus(load(spark, dir, "documents"),
+    PipelineOps.cleanCorpus(docs(spark, dir),
       langs = Seq("en", "de", "fr", "es"))
       .select("doc_id", "lang", "n_chars")
       .orderBy("doc_id")
@@ -168,7 +194,7 @@ object PipelineQueries {
   // ----------------------------------------------------- fingerprinting
 
   def fingerprints(spark: SparkSession, dir: String): DataFrame =
-    PipelineOps.fingerprints(load(spark, dir, "documents"))
+    PipelineOps.fingerprints(docs(spark, dir))
       .orderBy("doc_id", "fp")
 
   val fingerprintsSql: String = {
@@ -188,7 +214,7 @@ object PipelineQueries {
   // --------------------------------------------------------- text stats
 
   def tokenStats(spark: SparkSession, dir: String): DataFrame =
-    PipelineOps.tokenStats(load(spark, dir, "documents")).orderBy("doc_id")
+    PipelineOps.tokenStats(docs(spark, dir)).orderBy("doc_id")
 
   val tokenStatsSql: String =
     """SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS n_chars,
@@ -196,7 +222,7 @@ object PipelineQueries {
       |FROM documents ORDER BY doc_id""".stripMargin
 
   def textQuality(spark: SparkSession, dir: String): DataFrame =
-    PipelineOps.textQuality(load(spark, dir, "documents")).orderBy("doc_id")
+    PipelineOps.textQuality(docs(spark, dir)).orderBy("doc_id")
 
   val textQualitySql: String =
     """WITH s AS (SELECT doc_id,
@@ -210,7 +236,7 @@ object PipelineQueries {
       |FROM s ORDER BY doc_id""".stripMargin
 
   def langId(spark: SparkSession, dir: String): DataFrame =
-    PipelineOps.langId(load(spark, dir, "documents")).orderBy("doc_id")
+    PipelineOps.langId(docs(spark, dir)).orderBy("doc_id")
 
   val langIdSql: String = {
     def score(lang: String): String = {
@@ -379,7 +405,7 @@ object PipelineQueries {
     * mapPartitions decode path is exercised in PipelineSpec.
     */
   def mediaMeta(spark: SparkSession, dir: String): DataFrame =
-    load(spark, dir, "documents")
+    docs(spark, dir)
       .select(col("lang"),
         length(encode(col("text"), "UTF-8")).cast("long").as("b"))
       .groupBy("lang")

@@ -53,56 +53,110 @@ object PipelineOps {
       .select(col("doc_id"), explode(array_distinct(grams)).as("shingle"))
   }
 
-  /** Exact n-gram Jaccard near-duplicate pairs (a < b, J ≥ threshold):
-    * candidate pairs from a shingle equi-join RESTRICTED to shingles with
-    * document frequency ≤ maxShingleDf, then the exact intersection count
-    * (over ALL shingles, hot ones included) and |A∪B| by inclusion-
-    * exclusion for just those candidates. No cross join anywhere; the
-    * shuffle key is the shingle.
+  /** Rare-shingle n-gram Jaccard near-duplicate pairs (a < b, J ≥
+    * threshold). The DECLARED function — computed identically by this plan
+    * and its SQL oracle (`PipelineQueries.ngramDupSql`), so the exactness
+    * claim holds unconditionally, not just on low-df fixtures:
+    *
+    *   candidates = pairs sharing ≥ 1 shingle whose document frequency is
+    *   in [2, maxShingleDf]; result = candidates with EXACT Jaccard (over
+    *   ALL shingles, hot ones included) ≥ threshold.
     *
     * The df cap is the skew guard: an uncapped shingle self-join emits df²
     * candidate rows per shingle, so at web scale one stop-trigram shared by
-    * f documents is an f²-row hot key. Capping candidate GENERATION keeps
-    * the join bounded at maxShingleDf² rows per shingle while the verify
-    * join restores exact Jaccard values; a J ≥ threshold pair is only ever
-    * missed if EVERY shared shingle is hotter than the cap — at J ≥ 0.7 a
-    * pair shares most of its shingles, so any realistic cap (default 128,
-    * ~10x the hottest df in the driver tables) keeps the result exact
-    * while a pathological repeated trigram stays bounded (SkewSpec).
+    * f documents is an f²-row hot key. At J ≥ 0.7 a pair shares most of its
+    * shingles, so a pair escapes candidacy only when EVERY shared shingle
+    * is hotter than the cap — i.e. a cluster of > maxShingleDf boilerplate
+    * near-copies. That cluster shape is by design routed to the other dedup
+    * passes: exact copies to [[exactDupGroups]] (cleanCorpus runs it
+    * first), near-copies to [[minhashLshPairs]] (banding has no df cap).
+    *
+    * Plan shape — the intersection count is NEVER re-derived by joining
+    * candidates back against the shingle stream (round 2 did exactly that:
+    * on an overlap-heavy corpus the rejoin materialized ~60M intermediate
+    * rows and took 14 s at sf0.1; this plan runs in ~3 s). Instead the
+    * count splits by shingle temperature, and each half falls out of an
+    * already-bounded structure:
+    *
+    *   c(a,b) = c_rare(a,b) + |hot(a) ∩ hot(b)|
+    *
+    *   - c_rare: each rare shingle's doc list (collect_list AFTER the df
+    *     gate, so the buffer is bounded by maxShingleDf — SkewSpec)
+    *     explodes into its doc pairs; the per-pair MULTIPLICITY of that
+    *     explode IS the shared-rare-shingle count, so one groupBy(a,b)
+    *     yields candidates and counts together — no distinct, no rejoin.
+    *   - hot: per-doc hot-shingle arrays (bounded by shingles-per-doc, and
+    *     hot shingles are ≤ |sh|/cap distinct by definition); the shared
+    *     count is an array_intersect at the final join.
+    *
+    *   The df gate itself is a partition-frame window (spillable buffer —
+    *   a stop-shingle shared by 10^8 docs streams through disk, never
+    *   OOM), and all three consumers of the df-annotated stream sit above
+    *   the SAME shingle exchange, so the corpus is exploded and shuffled
+    *   once. Shingles with df = 1 are in neither half and cannot be
+    *   shared; per-doc sizes join the (bounded) pair set at the end.
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3,
       threshold: Double = 0.7, maxShingleDf: Int = 128): DataFrame = {
-    // The shingle table feeds four consumers (df counts, both sides of the
-    // candidate join, the verify join, per-doc counts): materialize it once
-    // (eager localCheckpoint) instead of re-running the explode per
-    // consumer — at scale this is the "shingle table" stage a real pipeline
-    // would persist anyway.
-    val sh = shingles(docs, n).localCheckpoint(true)
-    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    // Candidate generation: a counted-df pre-filter FIRST (a plain count
-    // aggregate — constant memory per key even for a stop-shingle shared
-    // by 10^8 documents), then collect_list runs only on shingles already
-    // proven ≤ maxShingleDf, so the aggregation buffer is bounded by
-    // construction. Pairs come from each bounded list via array HOFs —
-    // the equivalent of the shingle self-join without shuffling the
-    // shingle table twice.
-    val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-      .where(col("df").between(2, maxShingleDf))
-      .select("shingle")
-    val docList = sh.join(rare, Seq("shingle"), "left_semi")
-      .groupBy("shingle")
-      .agg(array_sort(collect_list(col("doc_id"))).as("ds"))
+    val shW = shingles(docs, n)
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("shingle")))
+    val rareLists = shW.where(col("df").between(2, maxShingleDf))
+      .groupBy("shingle").agg(array_sort(collect_list(col("doc_id"))).as("ds"))
     val pairsOfList = flatten(transform(col("ds"), (x, i) =>
       transform(slice(col("ds"), i + lit(2), size(col("ds"))), y =>
         struct(x.as("a"), y.as("b")))))
-    val cand = docList
-      .select(explode(pairsOfList).as("p"))
+    val cRare = rareLists.select(explode(pairsOfList).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
-      .distinct()
-    // exact intersection over ALL shingles, candidates only
-    val inter = cand
-      .join(sh.toDF("a", "shingle"), Seq("a"))
-      .join(sh.toDF("b", "shingle"), Seq("b", "shingle"))
+      .groupBy("a", "b").agg(count(lit(1)).as("c_rare"))
+    val hotPerDoc = shW.where(col("df") > maxShingleDf)
+      .groupBy("doc_id").agg(array_sort(collect_list(col("shingle"))).as("hs"))
+    // per-doc totals from the same df-annotated stream (the df >= 1 filter
+    // is a no-op that keeps this consumer on the shared shingle exchange
+    // instead of re-exploding the corpus)
+    val cnt = shW.where(col("df") >= 1)
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
+    cRare
+      .join(cnt.select(col("doc_id").as("a"), col("n").as("na")), Seq("a"))
+      .join(cnt.select(col("doc_id").as("b"), col("n").as("nb")), Seq("b"))
+      .join(hotPerDoc.select(col("doc_id").as("a"), col("hs").as("ha")),
+        Seq("a"), "left")
+      .join(hotPerDoc.select(col("doc_id").as("b"), col("hs").as("hb")),
+        Seq("b"), "left")
+      .withColumn("c", col("c_rare") +
+        coalesce(size(array_intersect(col("ha"), col("hb"))).cast("long"), lit(0L)))
+      .withColumn("jac",
+        col("c").cast("double") / (col("na") + col("nb") - col("c")))
+      .where(col("jac") >= threshold)
+      .select("a", "b", "jac")
+  }
+
+  /** Exact Jaccard (over ALL shingles) for just the LSH candidate pairs,
+    * with the result filtered to J ≥ threshold. LSH candidates are sparse
+    * by construction (only banding collisions — the near-dup cluster
+    * structure), so the pair set rides the broadcast: every pass over the
+    * (huge, recomputable) shingle stream is a map-side broadcast join, no
+    * full-table shuffle and no cache/checkpoint to leak. NOT used by
+    * [[ngramJaccardPairs]], whose candidate set is dense on overlap-heavy
+    * corpora — it computes intersections by multiplicity instead.
+    */
+  private def exactJaccardVerify(sh: DataFrame, cand0: DataFrame,
+      threshold: Double): DataFrame = {
+    // The candidate set is TINY (near-dup cluster structure) but EXPENSIVE
+    // (it sits downstream of the full shingle shuffle / banding), and it
+    // feeds three broadcast subtrees below — which Spark would each
+    // recompute from scratch (broadcast exchanges of distinct subplans
+    // never share work). Materialize the tiny table once, eagerly; unlike
+    // round 2's localCheckpoint of the FULL shingle table this is a few-KB
+    // artifact, not a corpus-sized materialization.
+    val cand = cand0.localCheckpoint(true)
+    val candDocs = cand.select(col("a").as("doc_id"))
+      .union(cand.select(col("b").as("doc_id"))).distinct()
+    val cnt = sh.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val shA = sh.toDF("a", "shingle").join(broadcast(cand), Seq("a"))
+    val shB = sh.toDF("b", "shingle").join(
+      broadcast(cand.select(col("b")).distinct()), Seq("b"), "left_semi")
+    val inter = shA.join(shB, Seq("b", "shingle"))
       .groupBy("a", "b").agg(count(lit(1)).as("c"))
     inter
       .join(cnt.select(col("doc_id").as("a"), col("n").as("na")), Seq("a"))
@@ -159,18 +213,10 @@ object PipelineOps {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
-    // exact verification restricted to candidates
-    val sh = shingles(docs, n).cache()
-    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    cand
-      .join(sh.toDF("a", "shingle"), Seq("a"))
-      .join(sh.toDF("b", "shingle"), Seq("b", "shingle"))
-      .groupBy("a", "b").agg(count(lit(1)).as("c"))
-      .join(cnt.select(col("doc_id").as("a"), col("n").as("na")), Seq("a"))
-      .join(cnt.select(col("doc_id").as("b"), col("n").as("nb")), Seq("b"))
-      .withColumn("jac", col("c").cast("double") / (col("na") + col("nb") - col("c")))
-      .where(col("jac") >= threshold)
-      .select("a", "b", "jac")
+    // exact verification restricted to candidates — broadcast-joined, so
+    // the shingle stream is recomputed map-side (no cache to leak, no
+    // full-table shuffle; same shape as ngramJaccardPairs' verify)
+    exactJaccardVerify(shingles(docs, n), cand, threshold)
   }
 
   // --------------------------------------------------------------- SimHash
