@@ -388,15 +388,22 @@ object Queries {
   def persistedRange(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val pts = points(load(spark, dir, "customer"), "c_custkey").as[PointRow]
-    // root is keyed by a content fingerprint (row count + key extremes —
-    // answered from parquet footer stats), so a regenerated input can never
-    // silently serve a stale committed index from an earlier run
+    // root is keyed by a content fingerprint: row count + key extremes
+    // (parquet footer stats) PLUS an order-free content hash of the key
+    // set (two independent xor-folded key hashes — a cheap agg; xor is
+    // commutative so partitioning order is irrelevant, and sum would
+    // ANSI-overflow on 64-bit hash values), so a regenerated table with
+    // the same count and extremes but a different key set (gaps moved)
+    // can never silently serve a stale committed index
     val fp = load(spark, dir, "customer")
       .agg(count(lit(1)),
-        min(col("c_custkey")).cast("long"), max(col("c_custkey")).cast("long"))
+        min(col("c_custkey")).cast("long"), max(col("c_custkey")).cast("long"),
+        bit_xor(xxhash64(col("c_custkey"))),
+        bit_xor(xxhash64(col("c_custkey") + lit(1L))))
       .collect()(0)
     val root = s"/tmp/graft_pidx_v3_${new java.io.File(dir).getName}" +
-      s"_${fp.getLong(0)}_${fp.getLong(1)}_${fp.getLong(2)}"
+      s"_${fp.getLong(0)}_${fp.getLong(1)}_${fp.getLong(2)}" +
+      f"_${fp.getLong(3)}%016x${fp.getLong(4)}%016x".replace("-", "n")
     IndexStore.build(spark, pts, grid, root)
     IndexStore.rangeQuery(spark, root, grid, QB._1, QB._2, QB._3, QB._4)
       .orderBy("id")

@@ -95,6 +95,12 @@ final class Checkpoint(spark: SparkSession, root: String) {
         col("min_x"), col("min_y"), col("max_x"), col("max_y"),
         lit(wallMs).as("wall_ms"),
         lit(java.time.Instant.now().toString).as("committed_at"),
+        // fixed-width ordering key: Instant.toString emits 0/3/6/9
+        // fractional digits, and at a shared prefix the SHORTER string
+        // sorts lexicographically after the longer one ("...00Z" >
+        // "...00.500Z"), so the ISO column is for humans only — ordering
+        // uses epoch millis, which compare correctly across JVM restarts.
+        lit(java.time.Instant.now().toEpochMilli).as("committed_ms"),
         // attempt id: a crash between lineage append and marker creation
         // makes resume recompute the group and append a second row;
         // lineage() keeps only the latest attempt per (stage, grp) so
@@ -105,16 +111,16 @@ final class Checkpoint(spark: SparkSession, root: String) {
 
   /** One row per (stage, grp): the latest attempt only (earlier attempts of
     * a group whose commit marker never landed are superseded, not summed).
-    * Ordered by wall-clock `committed_at` first (ISO-8601 sorts
-    * chronologically and survives JVM restarts/reboots — nanoTime origins
-    * are arbitrary per JVM), with the in-JVM `attempt` as the tiebreak for
-    * same-instant retries.
+    * Ordered by wall-clock `committed_ms` first (a fixed-width LONG —
+    * epoch millis compare chronologically across JVM restarts, unlike the
+    * variable-precision ISO string or per-JVM nanoTime origins), with the
+    * in-JVM `attempt` as the tiebreak for same-millisecond retries.
     */
   def lineage(): DataFrame = {
     val raw = spark.read.parquet(s"$root/_lineage")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("stage", "grp")
-      .orderBy(col("committed_at").desc, col("attempt").desc)
+      .orderBy(col("committed_ms").desc, col("attempt").desc)
     raw.withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1).drop("__rn")
   }

@@ -44,16 +44,28 @@ case class StrHash31(child: Expression) extends UnaryExpression {
 object StrHash31 {
   final val P31 = 2147483647L
 
-  /** Called from both interpreted eval and generated code. */
+  /** Called from both interpreted eval and generated code. Decodes code
+    * points straight off the UTF8String's UTF-8 bytes — no per-row
+    * java.lang.String copy (the hot shingle-hash path calls this once per
+    * shingle; the copy was the only allocation left in the loop).
+    */
   def hash(s: UTF8String): Long = {
-    val str = s.toString
     var h = 0L
     var i = 0
-    val n = str.length
+    val n = s.numBytes()
     while (i < n) {
-      val cp = str.codePointAt(i)
+      val b0 = s.getByte(i) & 0xff
+      var cp = b0
+      var len = 1
+      if (b0 >= 0x80) {
+        if ((b0 & 0xe0) == 0xc0) { cp = b0 & 0x1f; len = 2 }
+        else if ((b0 & 0xf0) == 0xe0) { cp = b0 & 0x0f; len = 3 }
+        else { cp = b0 & 0x07; len = 4 }
+        var j = 1
+        while (j < len) { cp = (cp << 6) | (s.getByte(i + j) & 0x3f); j += 1 }
+      }
       h = (h * 31 + cp) % P31
-      i += Character.charCount(cp)
+      i += len
     }
     h
   }

@@ -89,13 +89,6 @@ final case class CellGrid(
     }
     out.toSeq
   }
-
-  /** Lower bound on squared distance from `p` to any point of cell `id`.
-    * (kNN termination does not need a per-ring bound: pass A stops at
-    * cum ≥ k and pass B covers the exact d_up disc — see SpatialOps.knnJoin.)
-    */
-  def minDist2(id: Long, px: Double, py: Double): Double =
-    cellBox(id).distance2(Array(px, py))
 }
 
 object CellGrid {
