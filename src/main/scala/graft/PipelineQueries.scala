@@ -420,4 +420,26 @@ object PipelineQueries {
       |SELECT lang, COUNT(*) AS cnt, CAST(SUM(320 + b % 320) AS BIGINT) AS sum_w,
       | CAST(SUM(240 + b % 240) AS BIGINT) AS sum_h
       |FROM m GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** REAL image decode, end-to-end: per-doc deterministic PNGs are encoded
+    * distributed, then parsed back by the JDK's javax.imageio in the
+    * batched mapPartitions pass; the oracle recomputes the dimensions and
+    * the full-raster pixel checksum ARITHMETICALLY (every pixel is an
+    * integer function of doc_id), so a match proves the engine decoded the
+    * actual bytes — width, height, and all w×h pixels.
+    */
+  def mediaDecode(spark: SparkSession, dir: String): DataFrame =
+    MediaOps.decodeImages(MediaOps.pngTable(docs(spark, dir)))
+      .toDF().orderBy("media_id")
+
+  val mediaDecodeSql: String =
+    """WITH ids AS (SELECT doc_id, 8 + doc_id % 16 AS w, 8 + doc_id % 12 AS h
+      |             FROM documents),
+      |xs AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM ids),
+      |px AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM xs)
+      |SELECT doc_id AS media_id, CAST(w AS BIGINT) AS width,
+      | CAST(h AS BIGINT) AS height,
+      | CAST(SUM((x*7 + y*13 + doc_id) % 256 + (x*3 + y*5 + 2*doc_id) % 256
+      |          + (x*11 + y*2 + 3*doc_id) % 256) AS BIGINT) AS pix_sum
+      |FROM px GROUP BY doc_id, w, h ORDER BY media_id""".stripMargin
 }

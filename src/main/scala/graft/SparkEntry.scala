@@ -50,7 +50,8 @@ object SparkEntry {
     "q_ann_cosine" -> (PipelineQueries.annCosine(_, _)),
     "q_ann_lsh" -> (PipelineQueries.annLsh(_, _)),
     "q_events_window" -> (PipelineQueries.eventsWindow(_, _)),
-    "q_media_meta" -> (PipelineQueries.mediaMeta(_, _))
+    "q_media_meta" -> (PipelineQueries.mediaMeta(_, _)),
+    "q_media_decode" -> (PipelineQueries.mediaDecode(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -92,6 +93,7 @@ object SparkEntry {
     "q_ann_cosine" -> PipelineQueries.annCosineSql,
     "q_ann_lsh" -> PipelineQueries.annLshSql,
     "q_events_window" -> PipelineQueries.eventsWindowSql,
-    "q_media_meta" -> PipelineQueries.mediaMetaSql
+    "q_media_meta" -> PipelineQueries.mediaMetaSql,
+    "q_media_decode" -> PipelineQueries.mediaDecodeSql
   )
 }

@@ -7,14 +7,88 @@ import org.apache.spark.sql.functions._
   * columns with typed metadata, decoded/feature-extracted in batched
   * per-partition passes.
   *
-  * The decode itself is a clearly-marked STUB — the image/audio libraries
-  * are not in this container — but everything Spark-side is real and
-  * tested: the schema, the binary column flow, the mapPartitions batch
-  * shape (decode amortized per partition, not per row), and the
-  * explode-style frame sampling. A real decoder slots into `decodeBatch`
-  * without touching any plan.
+  * IMAGE decode is REAL: PNG bytes are parsed by the JDK's own
+  * `javax.imageio` (no external jars) inside the batched mapPartitions
+  * seam — [[decodeImages]] reads actual width/height/pixels, and the
+  * driver oracle pins decode(encode(params)) == params bit-exactly.
+  * AUDIO/VIDEO decode remains a clearly-marked stub (the JDK ships no
+  * codecs for them); for those, everything Spark-side is still real and
+  * tested — schema, binary column flow, batch shape, explode-style frame
+  * sampling — and a codec slots into `decodeBatch` without touching any
+  * plan.
   */
 object MediaOps {
+
+  final case class ImageRow(media_id: Long, payload: Array[Byte])
+  final case class ImageMeta(
+      media_id: Long, width: Long, height: Long, pix_sum: Long)
+
+  /** Deterministic REAL PNG: dimensions and every pixel are pure integer
+    * functions of `id`, so an oracle can recompute them arithmetically
+    * while the bytes themselves are a genuine (lossless) PNG encoding.
+    */
+  def syntheticPng(id: Long): Array[Byte] = {
+    val w = 8 + (id % 16).toInt
+    val h = 8 + (id % 12).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = ((x * 7 + y * 13 + id) % 256).toInt
+        val g = ((x * 3 + y * 5 + 2 * id) % 256).toInt
+        val b = ((x * 11 + y * 2 + 3 * id) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** An image table with real PNG payloads, one per document id —
+    * generated DISTRIBUTED (each partition encodes its own rows; nothing
+    * touches the driver), the fixture path for the decode pipeline.
+    */
+  def pngTable(docs: DataFrame): Dataset[ImageRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map(id => ImageRow(id, syntheticPng(id)))
+  }
+
+  /** REAL image decode: parse each PNG payload with the JDK's ImageIO in a
+    * batched per-partition pass (decoder config amortized per partition —
+    * the in-memory cache toggle and stream plumbing happen once), emitting
+    * measured width/height plus a full-pixel checksum that proves the
+    * raster was actually decoded, not header-sniffed.
+    */
+  def decodeImages(ds: Dataset[ImageRow]): Dataset[ImageMeta] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false) // no temp-file cache on executors
+      it.map { row =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(row.payload))
+        require(img != null, s"undecodable payload for media ${row.media_id}")
+        var s = 0L
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val rgb = img.getRGB(x, y)
+            s += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        ImageMeta(row.media_id, img.getWidth.toLong, img.getHeight.toLong, s)
+      }
+    }
+  }
 
   final case class MediaRow(media_id: Long, fmt: String, payload: Array[Byte])
   final case class MediaMeta(
@@ -22,10 +96,12 @@ object MediaOps {
       bytes: Long)
   final case class Frame(media_id: Long, frame_idx: Int, feature: Long)
 
-  /** STUB decode: deterministic fake metadata derived from the payload
-    * bytes (length + first/last byte mixing). A real implementation would
-    * parse container headers here; per-partition batching is the part that
-    * matters for Spark (one decoder instance per partition, not per row).
+  /** STUB decode for the audio/video formats (the JDK ships no codecs for
+    * them — [[decodeImages]] is the real-decode path for images):
+    * deterministic fake metadata derived from the payload bytes. A codec
+    * would parse container headers here; per-partition batching is the
+    * part that matters for Spark (one decoder instance per partition, not
+    * per row).
     */
   private def decodeBatch(batch: Iterator[MediaRow]): Iterator[MediaMeta] = {
     // simulate per-partition decoder initialization cost happening ONCE

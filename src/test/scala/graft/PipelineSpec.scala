@@ -223,4 +223,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(resized.forall(_.width <= 400))
     meta.unpersist()
   }
+
+  test("REAL image decode: distributed PNG encode -> javax.imageio decode " +
+    "round-trips dimensions and every pixel") {
+    import spark.implicits._
+    // JVM-local ground truth (no Spark): decode must see the exact raster
+    def expected(id: Long): (Long, Long, Long) = {
+      val w = 8 + (id % 16); val h = 8 + (id % 12)
+      var s = 0L
+      for (y <- 0L until h; x <- 0L until w)
+        s += (x * 7 + y * 13 + id) % 256 +
+          (x * 3 + y * 5 + 2 * id) % 256 + (x * 11 + y * 2 + 3 * id) % 256
+      (w, h, s)
+    }
+    val got = MediaOps.decodeImages(MediaOps.pngTable(docs)).collect()
+    assert(got.length == docs.count())
+    got.foreach { m =>
+      val (w, h, s) = expected(m.media_id)
+      assert((m.width, m.height, m.pix_sum) == ((w, h, s)),
+        s"decode mismatch for ${m.media_id}")
+    }
+    // the payloads really are PNG containers (magic bytes), not headers
+    val magic = MediaOps.pngTable(docs).take(3)
+    magic.foreach { r =>
+      assert((r.payload(0) & 0xff) == 0x89 && r.payload(1) == 'P'.toByte &&
+        r.payload(2) == 'N'.toByte && r.payload(3) == 'G'.toByte)
+    }
+  }
 }
