@@ -20,13 +20,6 @@ final case class CellStats(
     cell: Long, cnt: Long,
     minX: Double, minY: Double, maxX: Double, maxY: Double)
 
-/** Deterministic salt mixing (SplitMix64 finalizer) — object-local so the
-  * closure serializes only this, not a generator.
-  */
-private[engine] object PagesGenMix {
-  def mix(x: Long): Long = graft.data.PagesGen.splitmix64(x)
-}
-
 /** The distributed operators — each the Spark-first re-expression of a
   * reference entry point (SURVEY.md §2), built as declarative DataFrame /
   * typed Dataset plans so Catalyst handles pushdown, join selection, AQE
@@ -94,40 +87,56 @@ object SpatialOps {
       left: Dataset[RectRow], right: Dataset[RectRow],
       grid: CellGrid): Dataset[(Long, Long)] = {
     val spark = left.sparkSession
-    import spark.implicits._
     val parts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     def celled(ds: Dataset[RectRow]): DataFrame = ds.toDF()
       .select(
         explode(stCoverCells(grid)(
-          col("minX"), col("minY"), col("maxX"), col("maxY"))).as("cell"),
+          col("minX"), col("minY"), col("maxX"), col("maxY"))).as("key"),
         col("id"), col("minX"), col("minY"), col("maxX"), col("maxY"))
-      .repartition(parts, col("cell")).sortWithinPartitions("cell")
-    val lr = celled(left).queryExecution.toRdd
-    val rr = celled(right).queryExecution.toRdd
+      .repartition(parts, col("key")).sortWithinPartitions("key")
+    zipIntersect(spark, celled(left), celled(right), grid, saltBits = 0)
+  }
+
+  /** The fused per-cell probe shared by [[intersectionJoinTree]] and
+    * [[intersectionJoinTreeSalted]]: both inputs must be (key LONG, id,
+    * minX, minY, maxX, maxY) hash-co-partitioned and sorted by `key`
+    * (= cell << saltBits | salt); the zip merges the sorted key runs on raw
+    * InternalRows, builds a per-run `LocalRTree` on the smaller side and
+    * probes it with the larger — no Dataset encoder ever touches the big
+    * sides (the round-2 salted path ran on typed cogroup and paid full
+    * object churn exactly on the declared-hot cells).
+    */
+  private def zipIntersect(
+      spark: SparkSession, lCelled: DataFrame, rCelled: DataFrame,
+      grid: CellGrid, saltBits: Int): Dataset[(Long, Long)] = {
+    import spark.implicits._
+    val lr = lCelled.queryExecution.toRdd
+    val rr = rCelled.queryExecution.toRdd
     val g = grid
+    val sb = saltBits
     val rdd = lr.zipPartitions(rr) { (lit, rit) =>
       import scala.collection.mutable
       // primitive look-ahead per side (rows are reused by the reader)
       final class Side(it: Iterator[org.apache.spark.sql.catalyst.InternalRow]) {
         var pending = false
-        var cell = 0L
+        var key = 0L
         var id = 0L
         val box = new Array[Double](4)
         def advance(): Unit =
           if (it.hasNext) {
             val r = it.next()
-            cell = r.getLong(0); id = r.getLong(1)
+            key = r.getLong(0); id = r.getLong(1)
             box(0) = r.getDouble(2); box(1) = r.getDouble(3)
             box(2) = r.getDouble(4); box(3) = r.getDouble(5)
             pending = true
           } else pending = false
-        def skipRun(): Unit = { val c = cell; while (pending && cell == c) advance() }
-        /** Load the current cell's run into SoA buffers; returns count. */
+        def skipRun(): Unit = { val k = key; while (pending && key == k) advance() }
+        /** Load the current key's run into SoA buffers; returns count. */
         def loadRun(ids: mutable.ArrayBuffer[Long],
             boxes: mutable.ArrayBuffer[Double]): Int = {
           ids.clear(); boxes.clear()
-          val c = cell
-          while (pending && cell == c) {
+          val k = key
+          while (pending && key == k) {
             ids += id
             boxes += box(0) += box(1) += box(2) += box(3)
             advance()
@@ -143,7 +152,8 @@ object SpatialOps {
       val rBoxes = mutable.ArrayBuffer.empty[Double]
       val out = mutable.Queue.empty[(Long, Long)]
 
-      def joinCell(cell: Long): Unit = {
+      def joinRun(key: Long): Unit = {
+        val cell = key >>> sb
         val nl = lIds.length; val nr = rIds.length
         // index the smaller run, probe with the larger (fewer tree builds)
         val (bIds, bBoxes, pIds, pBoxes, leftIsBuild) =
@@ -161,6 +171,8 @@ object SpatialOps {
           val pid = pIds(j)
           tree.foreachIntersecting(q) { e =>
             // reference-point dedup: emit in the intersection's lower cell
+            // (the CELL, not the salted key — salting only refines the
+            // co-partitioning; dedup semantics are unchanged)
             val bMinX = e.env.lower(0); val bMinY = e.env.lower(1)
             if (g.cellId(math.max(pMinX, bMinX), math.max(pMinY, bMinY)) == cell) {
               if (leftIsBuild) out.enqueue((e.value, pid))
@@ -174,13 +186,13 @@ object SpatialOps {
       new Iterator[(Long, Long)] {
         private def fill(): Unit = {
           while (out.isEmpty && ls.pending && rs.pending) {
-            if (ls.cell < rs.cell) ls.skipRun()
-            else if (rs.cell < ls.cell) rs.skipRun()
+            if (ls.key < rs.key) ls.skipRun()
+            else if (rs.key < ls.key) rs.skipRun()
             else {
-              val c = ls.cell
+              val k = ls.key
               ls.loadRun(lIds, lBoxes)
               rs.loadRun(rIds, rBoxes)
-              joinCell(c)
+              joinRun(k)
             }
           }
         }
@@ -208,49 +220,34 @@ object SpatialOps {
       left: Dataset[RectRow], right: Dataset[RectRow],
       grid: CellGrid, hotThreshold: Int): Dataset[(Long, Long)] = {
     val spark = left.sparkSession
-    import spark.implicits._
-    val lCelled = left.flatMap { r =>
-      grid.cover(AABB.of2d(r.minX, r.minY, r.maxX, r.maxY)).map(c => (c, r))
-    }
+    val parts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    def celled(ds: Dataset[RectRow]): DataFrame = ds.toDF().select(
+      explode(stCoverCells(grid)(
+        col("minX"), col("minY"), col("maxX"), col("maxY"))).as("cell"),
+      col("id"), col("minX"), col("minY"), col("maxX"), col("maxY"))
+    // histogram pass: bounded by 4^res cells — the driver-grid pattern
+    val lCelled = celled(left)
     val salts: Map[Long, Int] = lCelled
-      .groupByKey(_._1).count()
-      .filter(_._2 > hotThreshold)
+      .groupBy("cell").agg(count(lit(1)).as("n"))
+      .where(col("n") > hotThreshold)
       .collect()
-      .map { case (c, n) => c -> math.min(256, ((n + hotThreshold - 1) / hotThreshold).toInt) }
+      .map(r => r.getLong(0) ->
+        math.min(256, ((r.getLong(1) + hotThreshold - 1) / hotThreshold).toInt))
       .toMap
-    val saltsB = spark.sparkContext.broadcast(salts)
-    def key(cell: Long, salt: Int): Long = (cell << 8) | salt.toLong
-
-    val l = lCelled.map { case (c, r) =>
-      val s = saltsB.value.getOrElse(c, 1)
-      (key(c, (java.lang.Long.hashCode(PagesGenMix.mix(r.id)) % s + s) % s), r)
-    }
-    val r = right.flatMap { t =>
-      grid.cover(AABB.of2d(t.minX, t.minY, t.maxX, t.maxY)).flatMap { c =>
-        val s = saltsB.value.getOrElse(c, 1)
-        (0 until s).map(salt => (key(c, salt), t))
-      }
-    }
-    l.groupByKey(_._1).cogroup(r.groupByKey(_._1)) { (k, ls, rs) =>
-      val cell = k >> 8
-      val la = ls.map(_._2).toArray
-      val ra = rs.map(_._2).toArray
-      if (la.isEmpty || ra.isEmpty) Iterator.empty
-      else {
-        def box(t: RectRow) = AABB.of2d(t.minX, t.minY, t.maxX, t.maxY)
-        val tree = new LocalRTree[RectRow](2, 40, 1)
-          .bulkLoad(ra.map(t => Entry(box(t), t)))
-        val out = Vector.newBuilder[(Long, Long)]
-        la.foreach { a =>
-          tree.foreachIntersecting(box(a)) { b =>
-            if (grid.cellId(math.max(a.minX, b.value.minX),
-              math.max(a.minY, b.value.minY)) == cell)
-              out += ((a.id, b.value.id))
-          }
-        }
-        out.result().iterator
-      }
-    }
+    // salt factor as a broadcast map LITERAL, so the whole keying stays a
+    // codegen'd Column expression (cold cells: no entry -> factor 1)
+    val sCol = coalesce(element_at(typedlit(salts), col("cell")), lit(1))
+      .cast("long")
+    val cols = Seq(col("id"), col("minX"), col("minY"), col("maxX"), col("maxY"))
+    val lKeyed = lCelled
+      .select((shiftleft(col("cell"), 8) +
+        pmod(xxhash64(col("id")), sCol)).as("key") +: cols: _*)
+      .repartition(parts, col("key")).sortWithinPartitions("key")
+    val rKeyed = celled(right)
+      .withColumn("salt", explode(sequence(lit(0L), sCol - 1)))
+      .select((shiftleft(col("cell"), 8) + col("salt")).as("key") +: cols: _*)
+      .repartition(parts, col("key")).sortWithinPartitions("key")
+    zipIntersect(spark, lKeyed, rKeyed, grid, saltBits = 8)
   }
 
   // ------------------------------------------------------------ kNN join

@@ -53,6 +53,35 @@ class SkewSpec extends AnyFunSuite {
     assert(plain.nonEmpty)
   }
 
+  test("salted join runs on the fused InternalRow probe: no typed cogroup " +
+    "in the plan, dense-hot-cell runtime in the unsalted path's class") {
+    val l = skewedPoints(60000, 100).localCheckpoint(true)
+    val r = skewedPoints(12000, 200).localCheckpoint(true)
+    // the round-2 salted path ran on groupByKey.cogroup — full Dataset
+    // encoder churn exactly on the declared-hot cells it exists for
+    val plan = SpatialOps.intersectionJoinTreeSalted(l, r, grid, 200)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CoGroup") && !plan.contains("MapGroups"),
+      s"typed cogroup leaked back into the salted join plan:\n$plan")
+    def run(f: => org.apache.spark.sql.Dataset[(Long, Long)]): (Long, Double) = {
+      val t0 = System.nanoTime()
+      val n = f.count()
+      (n, (System.nanoTime() - t0) / 1e9)
+    }
+    // warm both paths, then measure: salting pays a histogram job + probe
+    // replication, so it may trail on a fixture this small — the assertion
+    // pins it to the fused path's complexity class (the typed-cogroup
+    // version measured >3x here), with margin for this box's noise spikes
+    run(SpatialOps.intersectionJoinTree(l, r, grid))
+    run(SpatialOps.intersectionJoinTreeSalted(l, r, grid, 200))
+    val (np, tp) = run(SpatialOps.intersectionJoinTree(l, r, grid))
+    val (ns, ts) = run(SpatialOps.intersectionJoinTreeSalted(l, r, grid, 200))
+    assert(np == ns)
+    info(f"hot-cell join: unsalted $tp%.2f s, salted fused $ts%.2f s")
+    assert(ts < tp * 2.5 + 2.0,
+      f"salted fused join ($ts%.2f s) out of class vs unsalted ($tp%.2f s)")
+  }
+
   test("adaptive cell split: recursive re-keying bounds occupancy, keys " +
     "stay spatially coherent, cold cells untouched") {
     import spark.implicits._
