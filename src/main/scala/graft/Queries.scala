@@ -349,9 +349,11 @@ object Queries {
     SpatialOps.lineNearestJoin(pts, lines, grid).orderBy("id")
   }
 
-  val lineGridNNSql: String = {
-    val d2 =
-      """(p.x - (l.x1 + LEAST(1.0, GREATEST(0.0,
+  /** SQL twin of stLineDistanceSq for tables aliased `p` (point) and `l`
+    * (segment) — shared by every line-layer oracle.
+    */
+  private val lineD2Sql: String =
+    """(p.x - (l.x1 + LEAST(1.0, GREATEST(0.0,
         |     ((p.x - l.x1) * (l.x2 - l.x1) + (p.y - l.y1) * (l.y2 - l.y1))
         |     / ((l.x2 - l.x1) * (l.x2 - l.x1) + (l.y2 - l.y1) * (l.y2 - l.y1))))
         |     * (l.x2 - l.x1)))
@@ -367,13 +369,84 @@ object Queries {
         |     ((p.x - l.x1) * (l.x2 - l.x1) + (p.y - l.y1) * (l.y2 - l.y1))
         |     / ((l.x2 - l.x1) * (l.x2 - l.x1) + (l.y2 - l.y1) * (l.y2 - l.y1))))
         |     * (l.y2 - l.y1)))""".stripMargin
-    s"""WITH l AS (SELECT p_partkey AS lid,
+
+  /** SQL for the part-derived segment layer (the lineGridNN fixture). */
+  private val partLinesSql: String =
+    s"""SELECT p_partkey AS lid,
        |  ${pxSql("p_partkey")} AS x1, ${pySql("p_partkey")} AS y1,
        |  ${pxSql("p_partkey")} + ${rWSql("p_partkey")} + 0.01 AS x2,
-       |  ${pySql("p_partkey")} + ${rHSql("p_partkey")} AS y2 FROM part),
+       |  ${pySql("p_partkey")} + ${rHSql("p_partkey")} AS y2 FROM part""".stripMargin
+
+  val lineGridNNSql: String =
+    s"""WITH l AS ($partLinesSql),
        |p AS (${pointsSql("customer", "c_custkey")}),
-       |j AS (SELECT p.id, $d2 AS d2 FROM p CROSS JOIN l)
+       |j AS (SELECT p.id, $lineD2Sql AS d2 FROM p CROSS JOIN l)
        |SELECT id, MIN(d2) AS min_d2 FROM j GROUP BY id ORDER BY id""".stripMargin
+
+  // ------------------------- K2 over arbitrary PointDistance geometries
+
+  /** Top-k nearest RECTANGLES per customer point (NN over any
+    * `PointDistance` object — rstar/src/primitives/rectangle.rs:79-111,
+    * rtree.rs:940-975 — at the distributed tier): the generic
+    * envelope-registered two-pass join with the exact clamp-then-distance
+    * box metric; oracle = brute-force window over all point×rect pairs.
+    */
+  def knnRects(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val geoms = rects(load(spark, dir, "orders"), "o_orderkey").select(
+      col("id").as("gid"),
+      col("min_x").as("minX"), col("min_y").as("minY"),
+      col("max_x").as("maxX"), col("max_y").as("maxY"))
+    val pts = points(load(spark, dir, "customer"), "c_custkey").as[PointRow]
+    val d2 = stBoxDistanceSq(
+      col("minX"), col("minY"), col("maxX"), col("maxY"),
+      col("px"), col("py"))
+    SpatialOps.knnEnvelopeJoin(pts, geoms, d2, 3, grid).orderBy("id", "rn")
+  }
+
+  val knnRectsSql: String =
+    s"""WITH r AS (${rectsSql("orders", "o_orderkey")}),
+       |p AS (${pointsSql("customer", "c_custkey")}),
+       |j AS (SELECT p.id, r.id AS gid,
+       |  (LEAST(r.max_x, GREATEST(r.min_x, p.x)) - p.x)
+       |    * (LEAST(r.max_x, GREATEST(r.min_x, p.x)) - p.x)
+       |  + (LEAST(r.max_y, GREATEST(r.min_y, p.y)) - p.y)
+       |    * (LEAST(r.max_y, GREATEST(r.min_y, p.y)) - p.y) AS d2
+       |  FROM p CROSS JOIN r),
+       |k AS (SELECT id, gid, d2,
+       |  ROW_NUMBER() OVER (PARTITION BY id ORDER BY d2, gid) AS rn FROM j)
+       |SELECT id, gid, d2, rn FROM k WHERE rn <= 3 ORDER BY id, rn""".stripMargin
+
+  /** Top-k nearest SEGMENTS per customer point (K2 semantics over the
+    * part-derived line layer — generalizes lineGridNN's min-distance to
+    * k-th distance through the same grid bound).
+    */
+  def lineKnn(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val k = col("p_partkey")
+    val geoms = load(spark, dir, "part").select(
+      k.as("gid"),
+      px(k).as("x1"), py(k).as("y1"),
+      (px(k) + rW(k) + lit(0.01)).as("x2"), (py(k) + rH(k)).as("y2"))
+      .withColumn("minX", least(col("x1"), col("x2")))
+      .withColumn("minY", least(col("y1"), col("y2")))
+      .withColumn("maxX", greatest(col("x1"), col("x2")))
+      .withColumn("maxY", greatest(col("y1"), col("y2")))
+    val pts = points(load(spark, dir, "customer"), "c_custkey").as[PointRow]
+    val d2 = stLineDistanceSq(
+      col("x1"), col("y1"), col("x2"), col("y2"), col("px"), col("py"))
+    SpatialOps.knnEnvelopeJoin(pts, geoms, d2, 3, grid).orderBy("id", "rn")
+  }
+
+  val lineKnnSql: String = {
+    // the shared snippet distances (p.x, p.y); here the point alias is `p`
+    // with columns x, y as in lineGridNNSql
+    s"""WITH l AS ($partLinesSql),
+       |p AS (${pointsSql("customer", "c_custkey")}),
+       |j AS (SELECT p.id, l.lid AS gid, $lineD2Sql AS d2 FROM p CROSS JOIN l),
+       |k AS (SELECT id, gid, d2,
+       |  ROW_NUMBER() OVER (PARTITION BY id ORDER BY d2, gid) AS rn FROM j)
+       |SELECT id, gid, d2, rn FROM k WHERE rn <= 3 ORDER BY id, rn""".stripMargin
   }
 
   // ------------------------------------------- C5: persisted index probe

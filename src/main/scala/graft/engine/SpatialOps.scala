@@ -637,6 +637,92 @@ object SpatialOps {
       .groupBy("id").agg(min("d2").as("min_d2"))
   }
 
+  /** k nearest GEOMETRIES per point, for any layer registered by envelope
+    * — rectangles, segments, or any shape with an exact point-distance
+    * column (the reference's NN works over any `PointDistance` object,
+    * rstar/src/rtree.rs:940-975, rectangle.rs:79-111, line.rs:71-113; this
+    * is that generality at the distributed tier, where [[knnJoin]] covers
+    * the point-layer fast path).
+    *
+    * Same two-pass bound scheme as [[knnJoin]] / [[lineNearestJoin]], with
+    * one twist: multi-cell geometries are cover-registered (so candidate
+    * joins find them from any overlapped cell), but the ring-expansion
+    * histogram counts each geometry ONCE, at its envelope's lower-corner
+    * reference cell. Counting registrations instead would overcount a
+    * spanning geometry and stop the expansion before k DISTINCT candidates
+    * are guaranteed — a correctness bug, not a tuning choice. Visiting
+    * cells holding ≥ k reference points guarantees ≥ k distinct joinable
+    * geometries (each geometry's cover includes its reference cell).
+    *
+    *   Pass A: ring-expand over the reference histogram to ≥ k geometries;
+    *   the k-th smallest exact distance among the (deduped) candidates is
+    *   the bound d_up. Pass B: probe every cell the d_up disc touches — a
+    *   geometry within d_up intersects the disc, so its envelope shares a
+    *   cell with the disc's bounding box — and the window top-k over the
+    *   deduped candidates is exact.
+    *
+    * `geoms` needs (gid, minX, minY, maxX, maxY, *payload columns);
+    * `d2Expr` computes the exact squared point-geometry distance from the
+    * payload columns plus (px, py). Output: (id, gid, d2, rn), rn ∈ [1,k]
+    * ordered by (d2, gid) — the deterministic tiebreak the oracles pin.
+    */
+  def knnEnvelopeJoin(points: Dataset[PointRow], geoms: DataFrame,
+      d2Expr: Column, k: Int, grid: CellGrid): DataFrame = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    val celled = geoms.withColumn("cell",
+      explode(stCoverCells(grid)(
+        col("minX"), col("minY"), col("maxX"), col("maxY"))))
+    val histRows = geoms
+      .select(stCell(grid)(col("minX"), col("minY")).as("cell"))
+      .groupBy("cell").count()
+      .as[(Long, Long)].collect().sortBy(_._1)
+    val histKeys = histRows.map(_._1)
+    val histCnts = histRows.map(_._2)
+    val histB = spark.sparkContext.broadcast((histKeys, histCnts))
+
+    val candA = points.flatMap { p =>
+      val (hk, hc) = histB.value
+      def cnt(c: Long): Long = {
+        val i = java.util.Arrays.binarySearch(hk, c)
+        if (i >= 0) hc(i) else 0L
+      }
+      val cx = grid.ix(p.x); val cy = grid.iy(p.y)
+      var cum = 0L
+      var ring = 0
+      val cells = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val maxRing = grid.cellsPerAxis
+      while (cum < k && ring <= maxRing) {
+        grid.ring(cx, cy, ring).foreach { c =>
+          val n = cnt(c)
+          if (n > 0) { cells += c; cum += n }
+        }
+        ring += 1
+      }
+      cells.map(c => (p.id, p.x, p.y, c))
+    }.toDF("id", "px", "py", "cell")
+
+    val wAsc = Window.partitionBy("id").orderBy(col("d2"), col("gid"))
+    val dUp = candA.join(celled, Seq("cell"))
+      .select(col("id"), col("px"), col("py"), col("gid"), d2Expr.as("d2"))
+      .dropDuplicates("id", "gid") // a geometry may arrive via several cells
+      .withColumn("rn", row_number().over(wAsc))
+      .where(col("rn") <= k)
+      .groupBy("id").agg(max("d2").as("dUp"),
+        first("px").as("px"), first("py").as("py"))
+
+    val r = sqrt(col("dUp")) * lit(1.0 + 1e-12) // ulp pad: sqrt rounds
+    val candB = dUp.select(col("id"), col("px"), col("py"),
+      explode(stCoverCells(grid)(
+        col("px") - r, col("py") - r, col("px") + r, col("py") + r)).as("cell"))
+    candB.join(celled, Seq("cell"))
+      .select(col("id"), col("gid"), d2Expr.as("d2"))
+      .dropDuplicates("id", "gid") // d2 is identical across a pair's copies
+      .withColumn("rn", row_number().over(wAsc).cast("long"))
+      .where(col("rn") <= k)
+      .select(col("id"), col("gid"), col("d2"), col("rn"))
+  }
+
   // --------------------------------------------------- selections as scans
 
   /** F1 `locate_in_envelope`: full containment — a pure conjunctive range

@@ -76,7 +76,18 @@ final class LocalRTree[T](
       else {
         val height = math.max(1, math.ceil(
           math.log(elements.length.toDouble) / math.log(maxSize.toDouble)).toInt)
-        omtBuild(elements, 0, elements.length, height)
+        // Build once: per-axis primitive key columns + an index
+        // permutation. All slab selection runs on these flat doubles —
+        // comparing through es(i).env.lower(axis) costs two dependent
+        // loads per key (Entry -> AABB -> array) and dominated the build
+        // profile; the columns turn every comparison into one primitive
+        // array read.
+        val n = elements.length
+        val dims = elements(0).env.dims
+        val keys = Array.tabulate(dims)(d =>
+          Array.tabulate(n)(i => elements(i).env.lower(d)))
+        val idx = Array.tabulate(n)(identity)
+        omtBuild(elements, keys, idx, 0, n, height)
       }
     cnt = elements.length
     frozen = true
@@ -87,19 +98,21 @@ final class LocalRTree[T](
   /** Top-level OMT recursion (bulk_load_sequential.rs:15-42): ranges of at
     * most MAX_SIZE become leaf parents; larger ranges are sliced into
     * per-axis slabs, each slab recursing on the next axis, until axis 0,
-    * where each final cluster builds a subtree. Slab boundaries come from
-    * sorting the range on the envelope's lower corner along the slab axis
-    * (the reference uses quickselect for the same partition,
-    * rstar/src/aabb.rs:235-247 — a full range sort yields identical slabs).
+    * where each final cluster builds a subtree. Slab boundaries are exact
+    * order statistics of the envelope's lower corner along the slab axis,
+    * placed by multi-way quickselect ([[LocalRTree.selectSlabs]]) — the
+    * same selection the reference uses (rstar/src/aabb.rs:235-247,
+    * select_nth_unstable_by); slab contents match a full sort's.
     */
   private def omtBuild(
-      es: Array[Entry[T]], lo: Int, hi: Int, height: Int): Inner[T] = {
+      es: Array[Entry[T]], keys: Array[Array[Double]], idx: Array[Int],
+      lo: Int, hi: Int, height: Int): Inner[T] = {
     val n = hi - lo
     if (height == 1) {
       // Leaf parent; callers guarantee n ≤ maxSize via the capacity cut.
       val children = new Array[Node[T]](n)
       var i = 0
-      while (i < n) { children(i) = es(lo + i); i += 1 }
+      while (i < n) { children(i) = es(idx(lo + i)); i += 1 }
       return Inner.ofChildren(children)
     }
     // Each child subtree holds at most cap = MAX_SIZE^(height-1) elements so
@@ -109,7 +122,7 @@ final class LocalRTree[T](
     // uneven sibling heights on awkward cluster sizes; queries are
     // insensitive to it, but our R* insert relies on uniform depth.
     val cap = math.pow(maxSize.toDouble, (height - 1).toDouble)
-    val dims = es(lo).env.dims
+    val dims = keys.length
     val clustersOnAxis =
       math.max(2, math.floor(
         math.pow(math.ceil(n.toDouble / cap), 1.0 / dims)).toInt)
@@ -118,22 +131,22 @@ final class LocalRTree[T](
     def slice(l: Int, h: Int, axisCountdown: Int): Unit = {
       val len = h - l
       if (axisCountdown == 0 || len <= cap) {
-        out += omtBuild(es, l, h, height - 1)
+        out += omtBuild(es, keys, idx, l, h, height - 1)
       } else if (axisCountdown == 1) {
         // Last axis: cut into exactly enough groups to respect cap.
-        sortRange(es, l, h, 0)
         val groups = ceilDiv(len, cap.toInt)
         val slab = ceilDiv(len, groups)
+        selectSlabs(keys, idx, l, h, 0, slabBounds(l, h, slab))
         var s = l
         while (s < h) {
           val e = math.min(s + slab, h)
-          out += omtBuild(es, s, e, height - 1)
+          out += omtBuild(es, keys, idx, s, e, height - 1)
           s = e
         }
       } else {
         val axis = axisCountdown - 1
-        sortRange(es, l, h, axis)
         val slab = ceilDiv(len, clustersOnAxis)
+        selectSlabs(keys, idx, l, h, axis, slabBounds(l, h, slab))
         var s = l
         while (s < h) {
           val e = math.min(s + slab, h)
@@ -1182,16 +1195,74 @@ object LocalRTree {
     math.floor(math.pow(clusters, 1.0 / dims)).toInt
   }
 
-  private[index] def sortRange[T](
-      es: Array[Entry[T]], lo: Int, hi: Int, axis: Int): Unit =
-    java.util.Arrays.sort(
-      es.asInstanceOf[Array[Object]], lo, hi,
-      new java.util.Comparator[Object] {
-        def compare(a: Object, b: Object): Int =
-          java.lang.Double.compare(
-            a.asInstanceOf[Entry[T]].env.lower(axis),
-            b.asInstanceOf[Entry[T]].env.lower(axis))
-      })
+  /** Multi-way selection over primitive key columns: permutes the index
+    * array (and every key column alongside it, so column reads stay
+    * position-aligned) so that every index in `bounds` (ascending,
+    * strictly inside [lo,hi)) holds exactly the element a full sort along
+    * `axis` would put there — each slab between consecutive bounds then
+    * contains its sorted-order elements, internally unordered. This is the
+    * reference's slab primitive (`select_nth_unstable_by`,
+    * rstar/src/aabb.rs:235-247): OMT only needs slab CONTENTS, so
+    * selection at O(n · log #slabs) replaces a full sort's O(n log n),
+    * and the flat double columns replace the two dependent loads per
+    * comparison that an Entry→AABB→array walk costs — the two changes
+    * that close the bulk-load gap to the reference. Quickselect uses
+    * median-of-3 pivots with a 3-way (fat-pivot) partition, so all-equal
+    * slab keys (degenerate coplanar inputs) finish in one pass instead of
+    * quadratically.
+    */
+  private[graft] def selectSlabs(keys: Array[Array[Double]], idx: Array[Int],
+      lo: Int, hi: Int, axis: Int, bounds: Array[Int]): Unit = {
+    val k0 = keys(axis)
+    val dims = keys.length
+    @inline def key(i: Int): Double = k0(i)
+    @inline def swap(i: Int, j: Int): Unit = {
+      val t = idx(i); idx(i) = idx(j); idx(j) = t
+      var d = 0
+      while (d < dims) {
+        val kd = keys(d)
+        val kt = kd(i); kd(i) = kd(j); kd(j) = kt
+        d += 1
+      }
+    }
+    // place the k-th order statistic of [l0,h0) at index k
+    def select(l0: Int, h0: Int, k: Int): Unit = {
+      var l = l0; var h = h0
+      while (h - l > 1) {
+        val a = key(l); val b = key((l + h) >>> 1); val c = key(h - 1)
+        val pv = // median of three
+          if (a < b) { if (b < c) b else if (a < c) c else a }
+          else { if (a < c) a else if (b < c) c else b }
+        var lt = l; var i = l; var gt = h
+        while (i < gt) {
+          val ki = key(i)
+          if (ki < pv) { swap(lt, i); lt += 1; i += 1 }
+          else if (ki > pv) { gt -= 1; swap(i, gt) }
+          else i += 1
+        }
+        if (k < lt) h = lt
+        else if (k >= gt) l = gt
+        else return // k landed inside the equal-to-pivot band
+      }
+    }
+    // binary recursion over the boundary list: each select halves the
+    // remaining bounds' search ranges, giving the n·log(#bounds) total
+    def multi(l: Int, h: Int, bLo: Int, bHi: Int): Unit = {
+      if (bLo >= bHi) return
+      val mid = (bLo + bHi) >>> 1
+      val k = bounds(mid)
+      select(l, h, k)
+      multi(l, k, bLo, mid)
+      multi(k, h, mid + 1, bHi)
+    }
+    multi(lo, hi, 0, bounds.length)
+  }
+
+  /** Interior slab boundaries l+slab, l+2·slab, … strictly below h. */
+  private[graft] def slabBounds(l: Int, h: Int, slab: Int): Array[Int] = {
+    val n = math.max(0, (h - l - 1) / slab)
+    Array.tabulate(n)(i => l + (i + 1) * slab)
+  }
 
   private[index] def envOf[T](ns: Array[Node[T]], lo: Int, hi: Int): AABB = {
     val e = AABB.empty(ns(lo).env.dims)

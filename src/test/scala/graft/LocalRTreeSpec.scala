@@ -88,6 +88,37 @@ class LocalRTreeSpec extends AnyFunSuite {
     assert(inBox.nonEmpty)
   }
 
+  test("selectSlabs: every slab's content multiset equals the full sort's " +
+    "(random, duplicated, and all-equal keys — the quickselect replaces " +
+    "the slab sort, rstar/src/aabb.rs:235-247)") {
+    def check(ks: Array[Double], slab: Int): Unit = {
+      val n = ks.length
+      // two key columns: axis 0 under test, axis 1 a tracer that must stay
+      // position-aligned with the index permutation through every swap
+      val keys = Array(ks.clone(), Array.tabulate(n)(i => i * 0.5))
+      val idx = Array.tabulate(n)(identity)
+      val sorted = ks.sorted
+      val bounds = LocalRTree.slabBounds(0, n, slab)
+      LocalRTree.selectSlabs(keys, idx, 0, n, 0, bounds)
+      val cuts = (0 +: bounds.toSeq :+ n).sliding(2).toSeq
+      for (Seq(s, e) <- cuts) {
+        val got = (s until e).map(keys(0)).sorted
+        val want = (s until e).map(sorted)
+        assert(got == want, s"slab [$s,$e) diverged from sorted order")
+      }
+      // the permutation lost nothing, and every column moved with it
+      assert(idx.sorted.toSeq == (0 until n))
+      idx.zipWithIndex.foreach { case (orig, pos) =>
+        assert(keys(0)(pos) == ks(orig) && keys(1)(pos) == orig * 0.5,
+          s"key columns desynced from the index permutation at $pos")
+      }
+    }
+    check(Array.tabulate(500)(i => uniform(i + 7, 0)), slab = 37)
+    check(Array.tabulate(500)(i => (splitmix64(i) % 13).toDouble), slab = 40)
+    check(Array.fill(300)(1.25), slab = 32) // degenerate: all keys equal
+    check(Array.tabulate(5)(_.toDouble), slab = 2) // tiny ranges
+  }
+
   test("bulk load preserves the exact element multiset across sizes 0..693 step 7 " +
     "(bulk_load_sequential.rs:124-151)") {
     (0 to 693 by 7).foreach { n =>

@@ -171,6 +171,55 @@ class SpatialOpsSpec extends AnyFunSuite {
       s"typed cogroup leaked back into the tree-probe plan:\n$plan")
   }
 
+  test("knnEnvelopeJoin (rects) == brute-force window top-k over the exact " +
+    "box metric (NN over arbitrary PointDistance objects, rectangle.rs:79-111)") {
+    val s = sc
+    import s.implicits._
+    import graft.functions.SpatialFunctions.stBoxDistanceSq
+    val geoms = rects(500, 5000).toDF()
+      .select(col("id").as("gid"), col("minX"), col("minY"),
+        col("maxX"), col("maxY"))
+    val pts = points(300, 6000)
+    val d2 = stBoxDistanceSq(col("minX"), col("minY"),
+      col("maxX"), col("maxY"), col("px"), col("py"))
+    val got = SpatialOps.knnEnvelopeJoin(pts, geoms, d2, 4, grid)
+      .select("id", "gid", "rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("d2"), col("gid"))
+    val want = pts.toDF().select(col("id"), col("x").as("px"), col("y").as("py"))
+      .crossJoin(geoms)
+      .select(col("id"), col("gid"), d2.as("d2"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .where(col("rn") <= 4)
+      .select("id", "gid", "rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want)
+    assert(want.size == 300 * 4)
+  }
+
+  test("knnEnvelopeJoin counts a spanning geometry once: giant rects " +
+    "(covering many cells) are still found and never double-ranked") {
+    val s = sc
+    import s.implicits._
+    import graft.functions.SpatialFunctions.stBoxDistanceSq
+    // two giant overlapping rects + a few small ones far away: pass A's
+    // reference-cell histogram must still deliver k distinct candidates
+    val geoms = Seq(
+      (0L, -170.0, -80.0, 170.0, 80.0),   // spans nearly every cell
+      (1L, -100.0, -50.0, 100.0, 50.0),
+      (2L, 150.0, 70.0, 155.0, 75.0),
+      (3L, -160.0, 60.0, -150.0, 70.0)
+    ).toDF("gid", "minX", "minY", "maxX", "maxY")
+    val pts = points(50, 7000)
+    val d2 = stBoxDistanceSq(col("minX"), col("minY"),
+      col("maxX"), col("maxY"), col("px"), col("py"))
+    val got = SpatialOps.knnEnvelopeJoin(pts, geoms, d2, 3, grid)
+    // every query finds exactly k=3 rows, no duplicate (id, gid)
+    assert(got.count() == 50 * 3)
+    assert(got.select("id", "gid").distinct().count() == 50 * 3)
+  }
+
   test("knnJoin plan shape: top-k pushes below the shuffle (WindowGroupLimit) " +
     "and the probe joins are hash joins") {
     val s = sc
