@@ -401,7 +401,12 @@ object Queries {
     val d2 = stBoxDistanceSq(
       col("minX"), col("minY"), col("maxX"), col("maxY"),
       col("px"), col("py"))
-    SpatialOps.knnEnvelopeJoin(pts, geoms, d2, 3, grid).orderBy("id", "rn")
+    // res 6, not the suite's res 4: the orders-rect layer is ~10x denser
+    // than the other layers (600 rects/cell at res 4 -> every query drags
+    // hundreds of candidates through pass A; res 6 puts O(k·10) in a cell —
+    // the "cells sized so the smaller side holds O(k)" rule, BASELINE.md)
+    SpatialOps.knnEnvelopeJoin(pts, geoms, d2, 3, CellGrid.lonLat(6))
+      .orderBy("id", "rn")
   }
 
   val knnRectsSql: String =

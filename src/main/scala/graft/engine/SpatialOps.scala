@@ -723,6 +723,75 @@ object SpatialOps {
       .select(col("id"), col("gid"), col("d2"), col("rn"))
   }
 
+  /** Distributed kNN join in d DIMENSIONS over [[graft.index.CellGridN]] —
+    * the n-dim tier (reference points are n-dimensional,
+    * rstar/src/point.rs:158-179; the 2-D [[knnJoin]] remains the web-geo
+    * fast path with its pure-Catalyst probe). Same two provably-complete
+    * passes: shell-expand over the broadcast histogram until ≥ k points,
+    * exact k-th candidate distance d_up, then cover the d_up hyper-ball's
+    * bounding box (ulp-padded) and window top-k — exact by the same disc
+    * argument, axis-generalized. Rows: (id, p: Array[Double]).
+    */
+  def knnJoinNd(
+      queries: Dataset[(Long, Array[Double])],
+      data: Dataset[(Long, Array[Double])],
+      k: Int, grid: graft.index.CellGridN): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val dataCelled = data.map(r => (grid.cellId(r._2), r._1, r._2))
+      .toDF("cell", "id", "p")
+    val histRows = dataCelled.groupBy("cell").count()
+      .as[(Long, Long)].collect().sortBy(_._1)
+    val histKeys = histRows.map(_._1)
+    val histCnts = histRows.map(_._2)
+    val histB = spark.sparkContext.broadcast((histKeys, histCnts))
+
+    val candA = queries.flatMap { q =>
+      val (hk, hc) = histB.value
+      def cnt(c: Long): Long = {
+        val i = java.util.Arrays.binarySearch(hk, c)
+        if (i >= 0) hc(i) else 0L
+      }
+      val c0 = Array.tabulate(grid.dims)(d => grid.idx(d, q._2(d)))
+      var cum = 0L
+      var ring = 0
+      val cells = scala.collection.mutable.ArrayBuffer.empty[Long]
+      while (cum < k && ring <= grid.cellsPerAxis) {
+        grid.ring(c0, ring).foreach { c =>
+          val n = cnt(c)
+          if (n > 0) { cells += c; cum += n }
+        }
+        ring += 1
+      }
+      cells.map(c => (q._1, q._2, c))
+    }.toDF("qid", "qp", "cell")
+
+    val d2 = aggregate(
+      zip_with(col("p"), col("qp"), (a, b) => (a - b) * (a - b)),
+      lit(0.0d), (acc, x) => acc + x)
+    val wAsc = Window.partitionBy("qid").orderBy(col("d2"), col("id"))
+    val dUp = candA.join(dataCelled, Seq("cell"))
+      .select(col("qid"), col("qp"), col("id"), d2.as("d2"))
+      .withColumn("rn", row_number().over(wAsc))
+      .where(col("rn") <= k)
+      .groupBy("qid").agg(max("d2").as("dUp"), first("qp").as("qp"))
+
+    val candB = dUp.as[(Long, Double, Array[Double])].flatMap { case (qid, up, qp) =>
+      val r = math.sqrt(up) * (1.0 + 1e-12)
+      val lo = qp.map(_ - r)
+      val hi = qp.map(_ + r)
+      grid.cover(AABB.fromBounds(lo, hi)).map(c => (qid, qp, c))
+    }.toDF("qid", "qp", "cell")
+
+    // no dedup needed: a point lives in exactly one cell and the cover's
+    // cells are distinct, so each (qid, id) pair joins at most once
+    candB.join(dataCelled, Seq("cell"))
+      .select(col("qid"), col("id"), d2.as("d2"))
+      .withColumn("rn", row_number().over(wAsc).cast("long"))
+      .where(col("rn") <= k)
+      .select(col("qid"), col("id"), col("d2"), col("rn"))
+  }
+
   // --------------------------------------------------- selections as scans
 
   /** F1 `locate_in_envelope`: full containment — a pure conjunctive range

@@ -468,48 +468,83 @@ object PipelineOps {
     * reference's bound-pruned nearest_neighbor descent
     * (rstar/src/algorithm/nearest_neighbor.rs:232-295):
     *
-    *   Index: nClusters deterministic seed vectors (lowest ids); every
-    *   vector joins its max-dot seed; per cluster keep (seed, size,
-    *   R = max ||v - seed||) — by Cauchy-Schwarz, for any query q and any
-    *   member v of cluster c:  q·v ≤ q·seed_c + ||q||·R_c  (the bound).
+    *   Index: nClusters centers — deterministic lowest-id seeds, then
+    *   `kmeansIters` Lloyd refinements (per-cluster element-wise mean,
+    *   computed as a tiny nClusters×dims aggregation) that tighten the
+    *   radii and hence the pruning; nClusters defaults to ~√n (clamped),
+    *   the standard IVF list-count rule. Every vector joins its max-dot
+    *   center; per cluster keep (center, size, R = max ||v - c||) — by
+    *   Cauchy-Schwarz, for any query q and any member v of cluster c:
+    *   q·v ≤ q·c + ||q||·R_c  (the bound; valid for ANY center, so
+    *   refinement affects speed, never correctness — center arithmetic is
+    *   double-rounded and the bound carries relative + absolute pads that
+    *   dominate the ≤64-term accumulation error by 5 orders).
     *
     *   Pass A: each query probes just enough top-bound clusters to hold
     *   ≥ k members; the exact k-th best dot among them, dk, is a lower
     *   bound on the true k-th best.
     *   Pass B: probe every cluster with bound ≥ dk — no true top-k member
     *   can hide elsewhere — and the window top-k over those candidates is
-    *   exact.
+    *   exact (ranking dots stay INTEGER-exact; only bounds are floats).
     *
     * All stages are DataFrame plans (broadcast cluster stats, cell-style
     * equi-joins, WindowGroupLimit top-k); nothing is collected. Pruning
     * power scales with how clustered the corpus is (random vectors are the
-    * worst case; real embedding corpora cluster hard).
+    * worst case; real embedding corpora cluster hard — AnnSpec asserts the
+    * pruning ratio on a clustered fixture).
     */
   def annIvfTopK(emb: DataFrame, nQueries: Int, k: Int,
-      nClusters: Int = 32): DataFrame = {
-    val spark = emb.sparkSession
+      nClusters: Int = 0, kmeansIters: Int = 1): DataFrame =
+    annIvfPassB(emb, nQueries, k, nClusters, kmeansIters)._1
+
+  /** [[annIvfTopK]] plus its pass-B candidate stream (pre-ranking), so
+    * specs can assert the pruning ratio without duplicating the plan.
+    */
+  private[graft] def annIvfPassB(emb: DataFrame, nQueries: Int, k: Int,
+      nClusters: Int = 0, kmeansIters: Int = 1): (DataFrame, DataFrame) = {
     val vecs = emb.select(col("vec_id").as("id"), intVec(col("embedding")).as("v"))
-    // Deterministic coarse centroids: the nClusters lowest-id vectors.
-    // (K-means would tighten R_c; seeds keep the index build one pass and
-    // fully deterministic. The bound argument is center-agnostic.)
-    val seeds = broadcast(
-      vecs.orderBy("id").limit(nClusters)
-        .select((row_number().over(Window.orderBy("id")) - 1).as("cluster"),
-          col("v").as("sv")))
-    // Assignment: argmax dot(v, seed); ties to the lowest cluster id.
-    val wAssign = Window.partitionBy("id").orderBy(col("sdot").desc, col("cluster"))
-    val assigned = vecs.crossJoin(seeds)
-      .withColumn("sdot", intDot(col("v"), col("sv")))
+    val kC =
+      if (nClusters > 0) nClusters
+      else { // ~√n lists, the standard IVF sizing (clamped to sane ends)
+        val n = emb.count()
+        math.max(16, math.min(1024, math.ceil(math.sqrt(n.toDouble)).toInt))
+      }
+    def dblDot(a: Column, b: Column): Column = aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y),
+      lit(0.0d), (acc, x) => acc + x)
+    // Deterministic seeds: the kC lowest-id vectors, as double centers.
+    val seeds = vecs.orderBy("id").limit(kC)
+      .select((row_number().over(Window.orderBy("id")) - 1).as("cluster"),
+        transform(col("v"), x => x.cast("double")).as("cv"))
+    // Assignment: argmax dot(v, center); ties to the lowest cluster id.
+    val wAssign = Window.partitionBy("id").orderBy(col("cdot").desc, col("cluster"))
+    def assign(cs: DataFrame): DataFrame = vecs.crossJoin(broadcast(cs))
+      .withColumn("cdot", dblDot(col("v"), col("cv")))
       .withColumn("arn", row_number().over(wAssign))
       .where(col("arn") === 1)
-      .select(col("cluster"), col("id"), col("v"), col("sv"))
-    // Cluster stats: size + conservative member radius (ulp-padded sqrt).
-    val r2 = aggregate(zip_with(col("v"), col("sv"), (a, b) => (a - b) * (a - b)),
-      lit(0L), (acc, x) => acc + x)
+      .select(col("cluster"), col("id"), col("v"), col("cv"))
+    // Lloyd refinement: element-wise member means (empty clusters drop out;
+    // coverage holds — every vector re-assigns to some surviving center).
+    val centers = (1 to kmeansIters).foldLeft(seeds) { (cs, _) =>
+      assign(cs)
+        .select(col("cluster"), posexplode(col("v")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(avg(col("col").cast("double")).as("m"))
+        .groupBy("cluster")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("cv"))
+    }
+    val assigned = assign(centers)
+    // Cluster stats: size + conservative member radius (padded sqrt).
+    val r2 = aggregate(
+      zip_with(col("v"), col("cv"), (a, b) => {
+        val d = a.cast("double") - b; d * d
+      }),
+      lit(0.0d), (acc, x) => acc + x)
     val stats = assigned
-      .withColumn("r", sqrt(r2.cast("double")) * lit(1.0 + 1e-12) + lit(1e-9))
+      .withColumn("r", sqrt(r2) * lit(1.0 + 1e-9) + lit(1e-6))
       .groupBy("cluster")
-      .agg(count(lit(1)).as("csize"), max("r").as("rc"), first("sv").as("sv"))
+      .agg(count(lit(1)).as("csize"), max("r").as("rc"), first("cv").as("cv"))
     // Queries with conservative norms; bounds vs every cluster (the cluster
     // table is the broadcast-size analog of the grid histogram).
     val qn = sqrt(aggregate(zip_with(col("qv"), col("qv"), (a, b) => a * b),
@@ -519,8 +554,8 @@ object PipelineOps {
       .withColumn("qnorm", qn)
       .crossJoin(broadcast(stats))
       .withColumn("bound",
-        intDot(col("qv"), col("sv")).cast("double") +
-          col("qnorm") * col("rc") + lit(1.0))
+        (dblDot(col("qv"), col("cv")) +
+          col("qnorm") * col("rc")) * lit(1.0 + 1e-9) + lit(1.0))
       .select("qid", "qv", "cluster", "csize", "bound")
     // Pass A: minimal top-bound prefix holding >= k members.
     val wBound = Window.partitionBy("qid").orderBy(col("bound").desc, col("cluster"))
@@ -538,11 +573,13 @@ object PipelineOps {
     // Pass B: every cluster whose bound can still beat dk; window = exact.
     val passB = bounds.join(dk, Seq("qid"))
       .where(col("bound") >= col("dk").cast("double"))
-    passB.join(members, Seq("cluster"))
+    val candB = passB.join(members, Seq("cluster"))
+    val result = candB
       .withColumn("dot", intDot(col("qv"), col("v")))
       .withColumn("rn", row_number().over(wTop).cast("long"))
       .where(col("rn") <= k)
       .select(col("qid"), col("id"), col("dot"), col("rn"))
+    (result, candB.select("qid", "id"))
   }
 
   // ------------------------------------------- multiprobe LSH ANN top-k

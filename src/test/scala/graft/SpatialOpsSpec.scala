@@ -220,6 +220,45 @@ class SpatialOpsSpec extends AnyFunSuite {
     assert(got.select("id", "gid").distinct().count() == 50 * 3)
   }
 
+  test("knnJoinNd (3-D grid) == brute-force window top-k; CellGridN " +
+    "cover/ring invariants hold (n-dim tier, point.rs:158-179)") {
+    val s = sc
+    import s.implicits._
+    import graft.index.CellGridN
+    val g = CellGridN.unit(3, 3) // 512 cells over [0,1)^3
+    // CellGridN unit checks first
+    assert(g.cover(AABB.fromBounds(Array(0.0, 0.0, 0.0),
+      Array(0.999, 0.999, 0.999))).size == 512)
+    val c0 = Array(4, 4, 4)
+    assert(g.ring(c0, 0) == Seq(g.cellOf(c0)))
+    assert(g.ring(c0, 1).size == 26) // 3^3 - 1 shell
+    assert(g.ring(c0, 2).size == 98) // 5^3 - 3^3
+    val onePt = Array(0.3, 0.6, 0.9)
+    assert(g.cover(AABB.fromPoint(onePt)) == Seq(g.cellId(onePt)))
+    // distributed 3-D kNN vs brute force
+    def pts(n: Int, seed: Int) = s.range(n).map { id =>
+      (id.toLong, Array(uniform(id + seed, 1), uniform(id + seed, 2),
+        uniform(id + seed, 3)))
+    }
+    val data = pts(4000, 9000)
+    val queries = pts(200, 9500)
+    val got = SpatialOps.knnJoinNd(queries, data, 4, g)
+      .select("qid", "id", "rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val d2 = aggregate(zip_with(col("p"), col("qp"), (a, b) => (a - b) * (a - b)),
+      lit(0.0d), (acc, x) => acc + x)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("d2"), col("id"))
+    val want = queries.toDF("qid", "qp").crossJoin(data.toDF("id", "p"))
+      .select(col("qid"), col("id"), d2.as("d2"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .where(col("rn") <= 4)
+      .select("qid", "id", "rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want)
+    assert(want.size == 200 * 4)
+  }
+
   test("knnJoin plan shape: top-k pushes below the shuffle (WindowGroupLimit) " +
     "and the probe joins are hash joins") {
     val s = sc
