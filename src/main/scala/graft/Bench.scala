@@ -113,10 +113,14 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    // 5 M pages ≈ 7.9 M entities: legs stay long enough to dominate fixed
-    // costs (lo ≈ 50 s, hi ≈ 17 s) while the whole 5-pair protocol + the
-    // 34-query suite stays well inside any plausible harness timeout.
-    val nPages = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "5000000").toLong
+    // 9 M pages ≈ 14 M entities: the hi leg must be LONG (~21 s; it was
+    // ~12 s at 5 M) because ~2.5 s of per-job driver-serial planning sits
+    // in every leg and Amdahl-caps the measurable 2→8 ratio at ~0.74 on
+    // short hi legs even when the parallel work scales at 0.9 (measured:
+    // 5 M-page runs read 0.73-0.85, leg-length-bound). 5 pairs keeps the
+    // whole protocol + 37-query suite inside the wall-time envelope the
+    // earlier 766 s round-1 run already cleared.
+    val nPages = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "9000000").toLong
 
     // Part 1: operator suite at full parallelism. One untimed warm pass
     // first — cold numbers measure JIT, not the operators (observed 10-30x
@@ -175,9 +179,7 @@ object Bench {
     // (Round-1 used max-of-2-per-level, which let one slow hi leg sink the
     // ratio to 0.648 in the driver record.)
     run(hiN) // JVM-wide JIT warm-up, untimed
-    // 7 pairs (was 5): with jobs-only timing the pairs are cheaper, and a
-    // 7-sample median tolerates THREE noise-hit pairs instead of two.
-    val nPairs = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAIRS", "7").toInt
+    val nPairs = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAIRS", "5").toInt
     val pairs = (1 to nPairs).map { _ =>
       (run(loN), run(hiN))
     }
@@ -186,21 +188,20 @@ object Bench {
       if (s.size % 2 == 1) s(s.size / 2)
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
-    // Scaling estimator: per level, throughput = BEST of the interleaved
-    // legs — the standard min-time/max-throughput repetition rule, because
-    // ambient load on a shared box is strictly ONE-SIDED (it only ever
-    // subtracts throughput; nothing can make a leg faster than the
-    // engine). The per-pair medians are still computed and reported for
-    // transparency: when the box is quiet the two estimators agree (r2
-    // quiet run: all five pairs 0.807-0.877); when it is not, the median
-    // converges to the typical-noise ratio rather than the engine's —
-    // e.g. a run whose pairs spanned 0.59-0.96 medianed to 0.74 while
-    // the cleanest legs at BOTH widths showed ≥0.9 true scaling.
+    // Scaling estimator: efficiency = MEDIAN of the per-pair ratios.
+    // Interleaving exposes both legs of a pair to the same box epoch, so
+    // the ratio cancels correlated drift, and the odd-count median drops
+    // pairs where an uncorrelated spike hit one leg. A best-of-levels
+    // ratio (max throughput per level — noise is one-sided) is reported
+    // alongside: the two agree on a quiet box and bracket the engine's
+    // true ratio under load (the median under-reads when most pairs carry
+    // noise; best-of under-reads when no hi leg ran clean). Every pair
+    // ratio is published so the record is auditable either way.
     val tputLo = pairs.map(_._1).max
     val tputHi = pairs.map(_._2).max
     val effs = pairs.map { case (lo, hi) => hi / (lo * (hiN.toDouble / loN)) }
-    val eff = tputHi / (tputLo * (hiN.toDouble / loN))
-    val effMedianPairs = median(effs)
+    val eff = median(effs)
+    val effBestLevels = tputHi / (tputLo * (hiN.toDouble / loN))
     // Peak must be measured AT peak width — an 8-core hi leg may not be
     // attributed to 32 cores; three runs, max (capability under noise:
     // peak legs are the shortest, so a single load spike hits hardest).
@@ -212,7 +213,7 @@ object Bench {
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val effsJson = effs.map(e => f"$e%.3f").mkString("[", ",", "]")
     val scaling =
-      f"""{"cores_lo":$loN,"cores_hi":$hiN,"mrows_s_lo":$tputLo%.4f,"mrows_s_hi":$tputHi%.4f,"efficiency":$eff%.3f,"efficiency_median_pairs":$effMedianPairs%.3f,"pair_efficiencies":$effsJson,"peak_cores":$peakN,"mrows_s_peak":$tputPeak%.4f,"pages":$nPages}"""
+      f"""{"cores_lo":$loN,"cores_hi":$hiN,"mrows_s_lo":$tputLo%.4f,"mrows_s_hi":$tputHi%.4f,"efficiency":$eff%.3f,"efficiency_best_levels":$effBestLevels%.3f,"pair_efficiencies":$effsJson,"peak_cores":$peakN,"mrows_s_peak":$tputPeak%.4f,"pages":$nPages}"""
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","throughput_mrows_s":$tputPeak%.4f,"scaling":$scaling}""")
   }

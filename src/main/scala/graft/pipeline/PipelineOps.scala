@@ -455,9 +455,15 @@ object PipelineOps {
   private def intVec(v: Column): Column =
     transform(v, x => floor(x.cast("double") * lit(1000.0)).cast("long"))
 
-  /** Exact integer dot product of two long-array columns (order-free sum). */
+  /** Exact integer dot product of two long-array columns — the native
+    * codegen expression ([[graft.functions.ArrayDotLL]]); same
+    * left-to-right fold as the HOF form, so every SQL twin is unchanged.
+    */
   private def intDot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    org.apache.spark.sql.graft.ColumnShim.column(
+      graft.functions.ArrayDotLL(
+        org.apache.spark.sql.graft.ColumnShim.expression(a),
+        org.apache.spark.sql.graft.ColumnShim.expression(b)))
 
   // ------------------------------------------- exact IVF-pruned ANN top-k
 
@@ -547,8 +553,8 @@ object PipelineOps {
       .agg(count(lit(1)).as("csize"), max("r").as("rc"), first("cv").as("cv"))
     // Queries with conservative norms; bounds vs every cluster (the cluster
     // table is the broadcast-size analog of the grid histogram).
-    val qn = sqrt(aggregate(zip_with(col("qv"), col("qv"), (a, b) => a * b),
-      lit(0L), (acc, x) => acc + x).cast("double")) * lit(1.0 + 1e-12) + lit(1e-9)
+    val qn = sqrt(intDot(col("qv"), col("qv")).cast("double")) *
+      lit(1.0 + 1e-12) + lit(1e-9)
     val bounds = vecs.where(col("id") < nQueries)
       .select(col("id").as("qid"), col("v").as("qv"))
       .withColumn("qnorm", qn)

@@ -106,6 +106,42 @@ class PipelineSpec extends AnyFunSuite {
     assert(plan.contains("*(1) Project [strhash31"), plan)
   }
 
+  test("ArrayDotLL native expression == HOF fold (negatives, zeros, " +
+    "64-dim), mismatched dims fail loudly, codegen on real scans") {
+    import spark.implicits._
+    import graft.functions.ArrayDotLL
+    import org.apache.spark.sql.graft.ColumnShim
+    def dotCol(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      ColumnShim.column(ArrayDotLL(
+        ColumnShim.expression(a), ColumnShim.expression(b)))
+    val rnd = new scala.util.Random(7)
+    val fixtures = (0 until 50).map { i =>
+      (i.toLong, Array.fill(64)(rnd.nextLong() % 2000L),
+        Array.fill(64)(rnd.nextLong() % 2000L))
+    }.toDF("id", "a", "b")
+    val hof = aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+      lit(0L), (acc, x) => acc + x)
+    fixtures.select(dotCol(col("a"), col("b")).as("native"), hof.as("hofv"))
+      .collect().foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    // dimension mismatch is an error, not a silent truncation
+    val bad = Seq((Array(1L, 2L), Array(1L, 2L, 3L))).toDF("a", "b")
+    intercept[Exception] {
+      bad.select(dotCol(col("a"), col("b"))).collect()
+    }
+    // whole-stage codegen in the shape the ANN plans use it: the dot runs
+    // on plain long-array ATTRIBUTES (post-shuffle), not fused with the
+    // interpreted transform() lambda (a CodegenFallback HOF would exclude
+    // any project it sits in)
+    val iv = transform(col("embedding"), x =>
+      floor(x.cast("double") * lit(1000.0)).cast("long"))
+    val dotDf = emb.select(iv.as("iv")).repartition(2)
+      .select(dotCol(col("iv"), col("iv")).as("d"))
+    dotDf.collect() // finalize the adaptive plan before inspecting it
+    val plan = dotDf.queryExecution.executedPlan.toString
+    assert(plan.split("\n").exists(l =>
+      l.contains("Project [array_dot_ll") && l.trim.contains("*(")), plan)
+  }
+
   test("winnowing fingerprints: the shared-substring guarantee holds, " +
     "duplicates collide fully, disjoint docs do not") {
     import spark.implicits._
