@@ -86,6 +86,45 @@ object StreamOps {
       .toDF("url", "x", "y", "nn_id", "nn_d2")
   }
 
+  /** Streaming exact dedup with EXPLICIT custom state
+    * (`flatMapGroupsWithState` over `KeyValueGroupedDataset`): key = the
+    * 128-bit content hash, state = the keeper url chosen when the hash was
+    * first seen. The first batch containing a hash emits exactly one row —
+    * the minimum-url copy, matching the batch keeper rule
+    * ([[graft.pipeline.PipelineOps.exactDupGroups]] keeps the min id) —
+    * and every later arrival of the same content, within or across
+    * micro-batches, is swallowed by the state lookup.
+    *
+    * Scale notes: this is the standard streaming-dedup design — state
+    * lives in the per-partition state store (RocksDB/HDFS-backed on a real
+    * cluster), keyed and shuffled by the short hash only, one ~16-byte
+    * entry per DISTINCT content. `dropDuplicates` would give the insertion
+    * semantics but not the keeper bookkeeping; the explicit GroupState
+    * carries it, and a TTL (`GroupStateTimeout.ProcessingTimeTimeout` +
+    * `setTimeoutDuration`) slots in where the retention window is bounded.
+    */
+  def dedupStream(spark: SparkSession, pages: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    pages
+      .select(col("url"), col("text"),
+        md5(col("text").cast("binary")).as("h"))
+      .as[(String, String, String)]
+      .groupByKey(_._3)
+      .flatMapGroupsWithState[String, (String, String, String)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (h: String, rows: Iterator[(String, String, String)],
+            state: GroupState[String]) =>
+          if (state.exists) Iterator.empty // content already kept
+          else {
+            val keeper = rows.minBy(_._1) // deterministic: min url wins
+            state.update(keeper._1)
+            Iterator((h, keeper._1, keeper._2))
+          }
+      }
+      .toDF("h", "keeper_url", "text")
+  }
+
   /** Watermarked tumbling-window per-cell entity counts — the streaming
     * form of the build histogram (C2 stage 1): late pages beyond the
     * watermark are dropped, state stays bounded.

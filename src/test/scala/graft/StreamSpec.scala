@@ -99,6 +99,48 @@ class StreamSpec extends AnyFunSuite {
     assert(want.nonEmpty)
   }
 
+  test("streaming dedup (flatMapGroupsWithState): one keeper per distinct " +
+    "text across micro-batches, min-url rule, text byte-identical") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_d").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_dc").toString
+    val base = PagesGen.pages(spark, 300, skewShare = 0.3).toDF()
+      .localCheckpoint(true)
+    // batch 1: originals + 60 in-batch duplicates under LARGER urls (the
+    // min-url keeper rule must pick the originals)
+    val dupIn1 = base.limit(60)
+      .withColumn("url", concat(lit("zzz-dup1-"), col("url")))
+    base.unionByName(dupIn1).write.mode("overwrite").parquet(dir)
+
+    val q = StreamOps.dedupStream(spark,
+        spark.readStream.schema(StreamOps.pagesSchema).parquet(dir))
+      .writeStream.format("memory").queryName("dedup_stream")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    q.processAllAvailable()
+    // batch 2: cross-batch duplicates under lexicographically SMALLER urls
+    // — they arrive after the state committed, so they must emit NOTHING
+    // (first-seen wins; state, not per-batch min, decides)
+    base.limit(120)
+      .withColumn("url", concat(lit("aaa-dup2-"), col("url")))
+      .write.mode("append").parquet(dir)
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("dedup_stream").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    val wantTexts = base.select("text").distinct().as[String].collect().toSet
+    assert(got.length == wantTexts.size) // one keeper per distinct content
+    assert(got.map(_._3).toSet == wantTexts) // text travels byte-identical
+    // every keeper is an original url (no dup1/dup2 url ever won)
+    assert(got.forall(r => !r._2.startsWith("zzz-") && !r._2.startsWith("aaa-")))
+    // and the keeper is exactly the batch oracle's choice (min url per text)
+    val wantKeepers = base.groupBy("text").agg(min("url").as("u"))
+      .as[(String, String)].collect().toMap
+    got.foreach { case (_, u, t) => assert(wantKeepers(t) == u) }
+  }
+
   test("streaming 1-NN against a broadcast static layer == batch kNN join") {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
