@@ -55,6 +55,72 @@ object Queries {
        | MAX(x) AS max_x, MAX(y) AS max_y
        |FROM c GROUP BY cell ORDER BY cell""".stripMargin
 
+  // --------------------------------------------- raster <-> vector tier
+
+  /** Raster grid for the raster↔vector queries: res 6 → 64×64 cells
+    * (5.625° × 2.8125°, both exact binary fractions, so center arithmetic
+    * is bit-identical in any engine).
+    */
+  private val rasterGrid: CellGrid = CellGrid.lonLat(6)
+
+  /** Vector → raster: customer points rasterized to (ix, iy, cnt, v_sum)
+    * with v = nation key (north-rule raster primitive; no reference
+    * analog — rstar is vector-only).
+    */
+  def rasterizeQ(spark: SparkSession, dir: String): DataFrame =
+    SpatialOps.rasterize(
+      load(spark, dir, "customer").select(
+        px(col("c_custkey")).as("x"), py(col("c_custkey")).as("y"),
+        col("c_nationkey").cast("long").as("v")),
+      rasterGrid)
+      .orderBy("ix", "iy")
+
+  private def rasterCellSql(v: String, mn: String, extent: String): String =
+    s"LEAST(63, GREATEST(0, CAST(FLOOR(($v - $mn) / $extent * 64) AS BIGINT)))"
+
+  val rasterizeSql: String =
+    s"""WITH p AS (SELECT ${pxSql("c_custkey")} AS x, ${pySql("c_custkey")} AS y,
+       |  CAST(c_nationkey AS BIGINT) AS v FROM customer)
+       |SELECT ${rasterCellSql("x", "-180.0", "360.0")} AS ix,
+       |  ${rasterCellSql("y", "-90.0", "180.0")} AS iy,
+       |  COUNT(*) AS cnt, CAST(SUM(v) AS BIGINT) AS v_sum
+       |FROM p GROUP BY 1, 2 ORDER BY ix, iy""".stripMargin
+
+  /** Raster → vector: zonal statistics of the customer raster over the
+    * orders-rect zones (center rule — the classic raster↔vector join).
+    */
+  def zonalStatsQ(spark: SparkSession, dir: String): DataFrame = {
+    val raster = SpatialOps.rasterize(
+      load(spark, dir, "customer").select(
+        px(col("c_custkey")).as("x"), py(col("c_custkey")).as("y"),
+        col("c_nationkey").cast("long").as("v")),
+      rasterGrid)
+    val zones = rects(load(spark, dir, "orders"), "o_orderkey").select(
+      col("id"),
+      col("min_x").as("minX"), col("min_y").as("minY"),
+      col("max_x").as("maxX"), col("max_y").as("maxY"))
+    SpatialOps.zonalStats(raster, zones, rasterGrid)
+      .withColumnRenamed("zid", "id")
+      .orderBy("id")
+  }
+
+  val zonalStatsSql: String =
+    s"""WITH p AS (SELECT ${pxSql("c_custkey")} AS x, ${pySql("c_custkey")} AS y,
+       |  CAST(c_nationkey AS BIGINT) AS v FROM customer),
+       |r AS (SELECT ${rasterCellSql("x", "-180.0", "360.0")} AS ix,
+       |    ${rasterCellSql("y", "-90.0", "180.0")} AS iy,
+       |    COUNT(*) AS cnt, CAST(SUM(v) AS BIGINT) AS v_sum
+       |  FROM p GROUP BY 1, 2),
+       |rc AS (SELECT ix, iy, cnt, v_sum,
+       |    -180.0 + (CAST(ix AS DOUBLE) + 0.5) * 5.625 AS cx,
+       |    -90.0 + (CAST(iy AS DOUBLE) + 0.5) * 2.8125 AS cy FROM r),
+       |z AS (${rectsSql("orders", "o_orderkey")})
+       |SELECT z.id, COUNT(*) AS n_cells, CAST(SUM(rc.cnt) AS BIGINT) AS n_pts,
+       |  CAST(SUM(rc.v_sum) AS BIGINT) AS v_sum
+       |FROM z JOIN rc ON z.min_x <= rc.cx AND rc.cx <= z.max_x
+       |  AND z.min_y <= rc.cy AND rc.cy <= z.max_y
+       |GROUP BY z.id ORDER BY z.id""".stripMargin
+
   // ------------------------------------------------------- F1: contained
 
   def rangeContained(spark: SparkSession, dir: String): DataFrame =

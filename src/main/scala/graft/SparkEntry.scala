@@ -50,6 +50,8 @@ object SparkEntry {
     "q_ann_cosine" -> (PipelineQueries.annCosine(_, _)),
     "q_ann_lsh" -> (PipelineQueries.annLsh(_, _)),
     "q_events_window" -> (PipelineQueries.eventsWindow(_, _)),
+    "q_rasterize" -> (Queries.rasterizeQ(_, _)),
+    "q_zonal_stats" -> (Queries.zonalStatsQ(_, _)),
     "q_knn_rects" -> (Queries.knnRects(_, _)),
     "q_line_knn" -> (Queries.lineKnn(_, _)),
     "q_media_meta" -> (PipelineQueries.mediaMeta(_, _)),
@@ -95,6 +97,8 @@ object SparkEntry {
     "q_ann_cosine" -> PipelineQueries.annCosineSql,
     "q_ann_lsh" -> PipelineQueries.annLshSql,
     "q_events_window" -> PipelineQueries.eventsWindowSql,
+    "q_rasterize" -> Queries.rasterizeSql,
+    "q_zonal_stats" -> Queries.zonalStatsSql,
     "q_knn_rects" -> Queries.knnRectsSql,
     "q_line_knn" -> Queries.lineKnnSql,
     "q_media_meta" -> PipelineQueries.mediaMetaSql,

@@ -875,6 +875,66 @@ object SpatialOps {
     (keyed, splitFinal.size)
   }
 
+  // -------------------------------------------------- raster <-> vector
+
+  /** Vector → raster: aggregate a point layer onto the grid as one raster
+    * band per aggregate — (ix, iy, cnt, v_sum). The north-rule's
+    * rasterization primitive (no reference analog; rstar is vector-only).
+    * One map-side-combined groupBy on the cell id; at 100 TB the output is
+    * bounded by 4^res cells regardless of input size, which is the whole
+    * point of rasterizing.
+    *
+    * `points` needs (x, y, v); cell assignment = the same clamped floor
+    * arithmetic as every other operator (stCell), so rasters and vector
+    * cells always align.
+    */
+  def rasterize(points: DataFrame, grid: CellGrid): DataFrame = {
+    val n = grid.cellsPerAxis.toLong
+    points
+      .withColumn("cell", stCell(grid)(col("x"), col("y")))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("cnt"), sum("v").as("v_sum"))
+      .select((col("cell") / n).cast("long").as("ix"),
+        pmod(col("cell"), lit(n)).as("iy"), col("cnt"), col("v_sum"))
+  }
+
+  /** Raster → vector: ZONAL STATISTICS — per vector zone (rectangles
+    * here), aggregate the raster cells whose CENTER lies inside the zone
+    * (the standard center rule, GDAL `ALL_TOUCHED=FALSE`). The classic
+    * raster↔vector join, Spark-first: zones explode to their covered grid
+    * cells (stCoverCells), the raster side already carries the cell id, so
+    * the join is a cell EQUI-join with the exact center-in-zone predicate
+    * applied after — never a raster×zones cross product. Output per zone:
+    * n_cells, n_pts (sum of raster counts), v_sum.
+    *
+    * `raster` must be [[rasterize]]'s shape; `zones` needs
+    * (id, minX, minY, maxX, maxY).
+    */
+  def zonalStats(raster: DataFrame, zones: DataFrame,
+      grid: CellGrid): DataFrame = {
+    val n = grid.cellsPerAxis.toLong
+    val cw = (grid.maxX - grid.minX) / grid.cellsPerAxis
+    val ch = (grid.maxY - grid.minY) / grid.cellsPerAxis
+    val rCelled = raster
+      .withColumn("cell", col("ix") * n + col("iy"))
+      .withColumn("cx",
+        lit(grid.minX) + (col("ix").cast("double") + lit(0.5)) * lit(cw))
+      .withColumn("cy",
+        lit(grid.minY) + (col("iy").cast("double") + lit(0.5)) * lit(ch))
+    val zCelled = zones.select(
+      col("id").as("zid"),
+      col("minX"), col("minY"), col("maxX"), col("maxY"),
+      explode(stCoverCells(grid)(
+        col("minX"), col("minY"), col("maxX"), col("maxY"))).as("cell"))
+    zCelled.join(rCelled, Seq("cell"))
+      .where(stContainsPoint(
+        col("minX"), col("minY"), col("maxX"), col("maxY"),
+        col("cx"), col("cy")))
+      .groupBy("zid")
+      .agg(count(lit(1)).as("n_cells"), sum("cnt").as("n_pts"),
+        sum("v_sum").as("v_sum"))
+  }
+
   // ----------------------------------------------------- build / stats C2
 
   /** Stage 1 of the distributed bulk load (C2): cell assignment + per-cell

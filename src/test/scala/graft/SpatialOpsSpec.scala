@@ -259,6 +259,46 @@ class SpatialOpsSpec extends AnyFunSuite {
     assert(want.size == 200 * 4)
   }
 
+  test("raster <-> vector: rasterize preserves totals; zonalStats (cell " +
+    "equi-join, center rule) == brute-force raster x zones join") {
+    val s = sc
+    import s.implicits._
+    val g = CellGrid.lonLat(5)
+    val pts = points(5000, 12000).toDF()
+      .select(col("x"), col("y"), (col("id") % 25).as("v"))
+    val raster = SpatialOps.rasterize(pts, g).localCheckpoint(true)
+    // nothing lost in the binning: counts and value sums add up
+    assert(raster.agg(sum("cnt")).collect()(0).getLong(0) == 5000L)
+    assert(raster.agg(sum("v_sum")).collect()(0).getLong(0) ==
+      pts.agg(sum("v")).collect()(0).getLong(0))
+    // indices in range, one row per non-empty cell
+    assert(raster.where(col("ix") < 0 || col("ix") >= g.cellsPerAxis ||
+      col("iy") < 0 || col("iy") >= g.cellsPerAxis).count() == 0)
+    assert(raster.select("ix", "iy").distinct().count() == raster.count())
+
+    val zones = rects(400, 13000).toDF()
+      .select(col("id"), col("minX"), col("minY"), col("maxX"), col("maxY"))
+    val got = SpatialOps.zonalStats(raster, zones, g)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // brute force: every (cell, zone) pair, center rule
+    val cw = 360.0 / g.cellsPerAxis
+    val ch = 180.0 / g.cellsPerAxis
+    val want = raster
+      .withColumn("cx", lit(-180.0) + (col("ix").cast("double") + lit(0.5)) * lit(cw))
+      .withColumn("cy", lit(-90.0) + (col("iy").cast("double") + lit(0.5)) * lit(ch))
+      .crossJoin(zones)
+      .where(col("minX") <= col("cx") && col("cx") <= col("maxX") &&
+        col("minY") <= col("cy") && col("cy") <= col("maxY"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_cells"), sum("cnt").as("n_pts"),
+        sum("v_sum").as("v_sum"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got == want)
+    assert(want.nonEmpty)
+  }
+
   test("knnJoin plan shape: top-k pushes below the shuffle (WindowGroupLimit) " +
     "and the probe joins are hash joins") {
     val s = sc
