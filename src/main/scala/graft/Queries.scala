@@ -121,6 +121,41 @@ object Queries {
        |  AND z.min_y <= rc.cy AND rc.cy <= z.max_y
        |GROUP BY z.id ORDER BY z.id""".stripMargin
 
+  // ---------------------------------------------- point-in-polygon join
+
+  /** PIP join: customer points inside part-derived octagon polygons —
+    * real polygons through the grid (the north rule's "point-in-polygon";
+    * the envelope-rect PIP is q_locate_all_at_point).
+    */
+  def pipJoinQ(spark: SparkSession, dir: String): DataFrame =
+    SpatialOps.pipJoin(
+      points(load(spark, dir, "customer"), "c_custkey"),
+      polygons(load(spark, dir, "part"), "p_partkey"),
+      grid)
+      .orderBy("id", "pid")
+
+  /** SQL twin of stPointInPolygon8 for aliases `p` (point: x, y) and `g`
+    * (polygon: px1..py8) — same unrolled textual order, bit-identical.
+    */
+  private val pipPredSql: String = {
+    val terms = (0 until 8).map { i0 =>
+      val i = i0 + 1
+      val j = (i0 + 7) % 8 + 1
+      s"""CASE WHEN ((g.py$i > p.y) <> (g.py$j > p.y))
+         |  AND (p.x < (g.px$j - g.px$i) * (p.y - g.py$i)
+         |             / (g.py$j - g.py$i) + g.px$i)
+         |THEN 1 ELSE 0 END""".stripMargin
+    }
+    s"(${terms.mkString(" +\n ")}) % 2 = 1"
+  }
+
+  val pipJoinSql: String =
+    s"""WITH p AS (${pointsSql("customer", "c_custkey")}),
+       |g AS (${polygonsSql("part", "p_partkey")})
+       |SELECT p.id, g.id AS pid FROM p CROSS JOIN g
+       |WHERE $pipPredSql
+       |ORDER BY p.id, pid""".stripMargin
+
   // ------------------------------------------------------- F1: contained
 
   def rangeContained(spark: SparkSession, dir: String): DataFrame =

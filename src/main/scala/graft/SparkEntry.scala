@@ -50,6 +50,7 @@ object SparkEntry {
     "q_ann_cosine" -> (PipelineQueries.annCosine(_, _)),
     "q_ann_lsh" -> (PipelineQueries.annLsh(_, _)),
     "q_events_window" -> (PipelineQueries.eventsWindow(_, _)),
+    "q_pip_join" -> (Queries.pipJoinQ(_, _)),
     "q_rasterize" -> (Queries.rasterizeQ(_, _)),
     "q_zonal_stats" -> (Queries.zonalStatsQ(_, _)),
     "q_knn_rects" -> (Queries.knnRects(_, _)),
@@ -97,6 +98,7 @@ object SparkEntry {
     "q_ann_cosine" -> PipelineQueries.annCosineSql,
     "q_ann_lsh" -> PipelineQueries.annLshSql,
     "q_events_window" -> PipelineQueries.eventsWindowSql,
+    "q_pip_join" -> Queries.pipJoinSql,
     "q_rasterize" -> Queries.rasterizeSql,
     "q_zonal_stats" -> Queries.zonalStatsSql,
     "q_knn_rects" -> Queries.knnRectsSql,

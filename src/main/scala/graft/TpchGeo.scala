@@ -78,4 +78,49 @@ object TpchGeo {
 
   def load(spark: SparkSession, dir: String, table: String): DataFrame =
     spark.read.parquet(s"$dir/$table.parquet")
+
+  // -------------------------------------------------- polygon layer (PIP)
+
+  /** Unit-octagon vertex offsets (cos/sin of 2πi/8), fixed Scala doubles
+    * baked as exact literals into BOTH plans (the OracleHash pattern —
+    * never evaluate libm inside either engine). Consecutive uy values
+    * always differ, so every ray-cast edge has a nonzero y-span and the
+    * division in the crossing test can never hit zero (ANSI-safe).
+    */
+  val polyUx: Array[Double] = {
+    val r = math.sqrt(2.0) / 2.0
+    Array(1.0, r, 0.0, -r, -1.0, -r, 0.0, r)
+  }
+  val polyUy: Array[Double] = {
+    val r = math.sqrt(2.0) / 2.0
+    Array(0.0, r, 1.0, r, 0.0, -r, -1.0, -r)
+  }
+
+  /** Octagon polygon layer for a key column: center = point coords, radii
+    * from the rect width/height (+0.01 keeps them nondegenerate). Columns:
+    * id, px1..px8, py1..py8 — scalar columns, not arrays, so the PIP
+    * predicate stays in plain whole-stage codegen.
+    */
+  def polygons(df: DataFrame, key: String): DataFrame = {
+    val k = col(key)
+    val cx = px(k); val cy = py(k)
+    val rx = rW(k) + lit(0.01); val ry = rH(k) + lit(0.01)
+    val cols = (0 until 8).flatMap { i =>
+      Seq((cx + rx * lit(polyUx(i))).as(s"px${i + 1}"),
+        (cy + ry * lit(polyUy(i))).as(s"py${i + 1}"))
+    }
+    df.select(k.as("id") +: cols: _*)
+  }
+
+  /** SQL twin of [[polygons]]. */
+  def polygonsSql(table: String, key: String): String = {
+    import graft.functions.OracleHash.dbl
+    val cx = pxSql(key); val cy = pySql(key)
+    val rx = s"(${rWSql(key)} + 0.01)"; val ry = s"(${rHSql(key)} + 0.01)"
+    val cols = (0 until 8).flatMap { i =>
+      Seq(s"$cx + $rx * ${dbl(polyUx(i))} AS px${i + 1}",
+        s"$cy + $ry * ${dbl(polyUy(i))} AS py${i + 1}")
+    }
+    s"SELECT $key AS id, ${cols.mkString(",\n  ")} FROM $table"
+  }
 }

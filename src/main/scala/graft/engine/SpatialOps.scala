@@ -875,6 +875,33 @@ object SpatialOps {
     (keyed, splitFinal.size)
   }
 
+  // ------------------------------------------------- point-in-polygon join
+
+  /** Point-in-POLYGON join (north-rule PIP over real polygons, not just
+    * envelope rectangles): the polygon layer (fixed 8-vertex columns,
+    * TpchGeo.polygons) is envelope-exploded to its covered cells, points
+    * carry their single cell, and the exact unrolled ray-cast predicate
+    * (stPointInPolygon8 — pure codegen'd arithmetic) runs only on
+    * cell-cohabiting pairs. A point lives in exactly one cell, so each
+    * (point, polygon) pair is tested at most once — no reference-point
+    * dedup needed. Output: (id, pid).
+    */
+  def pipJoin(points: DataFrame, polys: DataFrame,
+      grid: CellGrid): DataFrame = {
+    val pxs = (1 to 8).map(i => col(s"px$i"))
+    val pys = (1 to 8).map(i => col(s"py$i"))
+    val polyCelled = polys
+      .select(col("id").as("pid") +: (pxs ++ pys): _*)
+      .withColumn("cell", explode(stCoverCells(grid)(
+        least(pxs: _*), least(pys: _*), greatest(pxs: _*), greatest(pys: _*))))
+    points
+      .select(col("id"), col("x"), col("y"),
+        stCell(grid)(col("x"), col("y")).as("cell"))
+      .join(polyCelled, Seq("cell"))
+      .where(stPointInPolygon8(pxs, pys, col("x"), col("y")))
+      .select(col("id"), col("pid"))
+  }
+
   // -------------------------------------------------- raster <-> vector
 
   /** Vector → raster: aggregate a point layer onto the grid as one raster

@@ -104,6 +104,30 @@ object SpatialFunctions {
         transform(sequence(y0, y1), iy => ix * lit(n.toLong) + iy)))
   }
 
+  /** Point-in-polygon by ray casting, UNROLLED over the fixed 8-vertex
+    * polygon columns (px1..px8 / py1..py8) — pure comparisons, multiplies
+    * and one correctly-rounded division per edge, in a fixed textual order,
+    * so the predicate evaluates bit-identically in ANSI SQL and both
+    * engines agree even for points within ulps of an edge (consistently,
+    * if arbitrarily, classified). Scalar columns rather than vertex arrays
+    * keep the whole test inside whole-stage codegen. Callers guarantee
+    * nonzero y-span per edge (TpchGeo octagons: consecutive uy always
+    * differ and radii are padded), so the division never hits zero under
+    * ANSI. Classic crossing-number algorithm (Franklin's PNPOLY form).
+    */
+  def stPointInPolygon8(
+      pxs: Seq[Column], pys: Seq[Column], qx: Column, qy: Column): Column = {
+    require(pxs.length == 8 && pys.length == 8)
+    val crossings = (0 until 8).map { i =>
+      val j = (i + 7) % 8
+      val cond = (pys(i) > qy) =!= (pys(j) > qy)
+      val xCross = (pxs(j) - pxs(i)) * (qy - pys(i)) /
+        (pys(j) - pys(i)) + pxs(i)
+      when(cond && qx < xCross, 1).otherwise(0)
+    }
+    crossings.reduce(_ + _) % 2 === 1
+  }
+
   /** Reference-point de-duplication predicate for exploded spatial joins:
     * a pair is emitted only in the cell containing the lower corner of the
     * intersection box (SURVEY.md §7.4), so multi-cell overlaps appear

@@ -259,6 +259,56 @@ class SpatialOpsSpec extends AnyFunSuite {
     assert(want.size == 200 * 4)
   }
 
+  test("pipJoin (real polygons): grid join == brute-force crossJoin with " +
+    "the same ray-cast; predicate == JVM PNPOLY on the same doubles") {
+    val s = sc
+    import s.implicits._
+    import graft.functions.SpatialFunctions.stPointInPolygon8
+    val polys = TpchGeo.polygons(
+      s.range(1, 800).toDF("p_partkey"), "p_partkey").localCheckpoint(true)
+    val pts = points(2000, 15000).toDF().localCheckpoint(true)
+    val got = SpatialOps.pipJoin(pts, polys, grid)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pxs = (1 to 8).map(i => col(s"px$i"))
+    val pys = (1 to 8).map(i => col(s"py$i"))
+    val want = pts.crossJoin(polys.withColumnRenamed("id", "pid"))
+      .where(stPointInPolygon8(pxs, pys, col("x"), col("y")))
+      .select("id", "pid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+    assert(want.nonEmpty)
+    // the Column predicate agrees with a JVM crossing-number loop on the
+    // exact same double values (both sides centroids-in, far points out)
+    val rows = polys.limit(50).collect()
+    rows.foreach { r =>
+      val xs = (1 to 8).map(i => r.getDouble(r.fieldIndex(s"px$i"))).toArray
+      val ys = (1 to 8).map(i => r.getDouble(r.fieldIndex(s"py$i"))).toArray
+      def pnpoly(qx: Double, qy: Double): Boolean = {
+        var inside = false
+        var i = 0
+        while (i < 8) {
+          val j = (i + 7) % 8
+          if ((ys(i) > qy) != (ys(j) > qy) &&
+            qx < (xs(j) - xs(i)) * (qy - ys(i)) / (ys(j) - ys(i)) + xs(i))
+            inside = !inside
+          i += 1
+        }
+        inside
+      }
+      val cx = xs.sum / 8; val cy = ys.sum / 8
+      assert(pnpoly(cx, cy), "centroid must be inside its octagon")
+      assert(!pnpoly(cx + 25.0, cy), "a far point must be outside")
+      val one = Seq((cx, cy, cx + 25.0)).toDF("cx", "cy", "fx")
+        .select(
+          stPointInPolygon8(xs.map(lit(_)), ys.map(lit(_)),
+            col("cx"), col("cy")).as("in1"),
+          stPointInPolygon8(xs.map(lit(_)), ys.map(lit(_)),
+            col("fx"), col("cy")).as("in2"))
+        .collect()(0)
+      assert(one.getBoolean(0) && !one.getBoolean(1))
+    }
+  }
+
   test("raster <-> vector: rasterize preserves totals; zonalStats (cell " +
     "equi-join, center rule) == brute-force raster x zones join") {
     val s = sc
