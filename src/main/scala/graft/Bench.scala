@@ -133,6 +133,13 @@ object Bench {
     // that silently masks the regression in the suite total.
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // Collect BETWEEN measurements (standard benchmark hygiene): 80
+      // query executions accumulate checkpoint blocks + broadcast garbage
+      // that the ContextCleaner only frees on GC, and an unlucky query
+      // otherwise pays a multi-second full-heap pause for its
+      // predecessors' debt (observed: sporadic 3-10 s outliers on
+      // otherwise-3 s queries).
+      System.gc()
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
         catch { case _: Throwable => failed += name; false }
@@ -163,6 +170,7 @@ object Bench {
       // true scaling (round-2 driver record: 0.742 measured vs ~0.9 true
       // with ~4 s of untimed-able startup inside every leg).
       s.read.parquet(entDir).count()
+      System.gc() // do not charge this leg for the previous leg's garbage
       val t0 = System.nanoTime()
       headline(s, nPages, entDir)
       val sec = (System.nanoTime() - t0) / 1e9
