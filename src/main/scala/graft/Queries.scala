@@ -75,14 +75,24 @@ object Queries {
       rasterGrid)
       .orderBy("ix", "iy")
 
-  private def rasterCellSql(v: String, mn: String, extent: String): String =
-    s"LEAST(63, GREATEST(0, CAST(FLOOR(($v - $mn) / $extent * 64) AS BIGINT)))"
+  /** Raster axis index in SQL, derived from [[rasterGrid]] (not hardcoded
+    * constants) so engine and oracle co-vary with the grid by construction
+    * — the same discipline as [[cellSql]].
+    */
+  private def rasterCellSql(v: String, mn: Double, extent: Double): String = {
+    val n = rasterGrid.cellsPerAxis
+    s"LEAST(${n - 1}, GREATEST(0, CAST(FLOOR(($v - $mn) / $extent * $n) AS BIGINT)))"
+  }
+  private def rasterIxSql(v: String): String =
+    rasterCellSql(v, rasterGrid.minX, rasterGrid.maxX - rasterGrid.minX)
+  private def rasterIySql(v: String): String =
+    rasterCellSql(v, rasterGrid.minY, rasterGrid.maxY - rasterGrid.minY)
 
   val rasterizeSql: String =
     s"""WITH p AS (SELECT ${pxSql("c_custkey")} AS x, ${pySql("c_custkey")} AS y,
        |  CAST(c_nationkey AS BIGINT) AS v FROM customer)
-       |SELECT ${rasterCellSql("x", "-180.0", "360.0")} AS ix,
-       |  ${rasterCellSql("y", "-90.0", "180.0")} AS iy,
+       |SELECT ${rasterIxSql("x")} AS ix,
+       |  ${rasterIySql("y")} AS iy,
        |  COUNT(*) AS cnt, CAST(SUM(v) AS BIGINT) AS v_sum
        |FROM p GROUP BY 1, 2 ORDER BY ix, iy""".stripMargin
 
@@ -104,22 +114,26 @@ object Queries {
       .orderBy("id")
   }
 
-  val zonalStatsSql: String =
+  val zonalStatsSql: String = {
+    import graft.functions.OracleHash.dbl
+    val cw = dbl((rasterGrid.maxX - rasterGrid.minX) / rasterGrid.cellsPerAxis)
+    val ch = dbl((rasterGrid.maxY - rasterGrid.minY) / rasterGrid.cellsPerAxis)
     s"""WITH p AS (SELECT ${pxSql("c_custkey")} AS x, ${pySql("c_custkey")} AS y,
        |  CAST(c_nationkey AS BIGINT) AS v FROM customer),
-       |r AS (SELECT ${rasterCellSql("x", "-180.0", "360.0")} AS ix,
-       |    ${rasterCellSql("y", "-90.0", "180.0")} AS iy,
+       |r AS (SELECT ${rasterIxSql("x")} AS ix,
+       |    ${rasterIySql("y")} AS iy,
        |    COUNT(*) AS cnt, CAST(SUM(v) AS BIGINT) AS v_sum
        |  FROM p GROUP BY 1, 2),
        |rc AS (SELECT ix, iy, cnt, v_sum,
-       |    -180.0 + (CAST(ix AS DOUBLE) + 0.5) * 5.625 AS cx,
-       |    -90.0 + (CAST(iy AS DOUBLE) + 0.5) * 2.8125 AS cy FROM r),
+       |    ${dbl(rasterGrid.minX)} + (CAST(ix AS DOUBLE) + 0.5) * $cw AS cx,
+       |    ${dbl(rasterGrid.minY)} + (CAST(iy AS DOUBLE) + 0.5) * $ch AS cy FROM r),
        |z AS (${rectsSql("orders", "o_orderkey")})
        |SELECT z.id, COUNT(*) AS n_cells, CAST(SUM(rc.cnt) AS BIGINT) AS n_pts,
        |  CAST(SUM(rc.v_sum) AS BIGINT) AS v_sum
        |FROM z JOIN rc ON z.min_x <= rc.cx AND rc.cx <= z.max_x
        |  AND z.min_y <= rc.cy AND rc.cy <= z.max_y
        |GROUP BY z.id ORDER BY z.id""".stripMargin
+  }
 
   // ---------------------------------------------- point-in-polygon join
 

@@ -117,7 +117,17 @@ final class Checkpoint(spark: SparkSession, root: String) {
     * in-JVM `attempt` as the tiebreak for same-millisecond retries.
     */
   def lineage(): DataFrame = {
-    val raw = spark.read.parquet(s"$root/_lineage")
+    val raw0 = spark.read.parquet(s"$root/_lineage")
+    // Migration: checkpoints written before committed_ms existed must stay
+    // resumable (roots are caller-named, not versioned). If the inferred
+    // schema lacks the column, or mixed old/new files leave nulls, derive
+    // the millis from the ISO committed_at — the same instant, just
+    // variable-precision — so ordering is total over every attempt row.
+    val fromIso = unix_millis(to_timestamp(col("committed_at")))
+    val raw =
+      if (raw0.columns.contains("committed_ms"))
+        raw0.withColumn("committed_ms", coalesce(col("committed_ms"), fromIso))
+      else raw0.withColumn("committed_ms", fromIso)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("stage", "grp")
       .orderBy(col("committed_ms").desc, col("attempt").desc)

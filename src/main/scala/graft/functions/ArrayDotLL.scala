@@ -44,14 +44,25 @@ case class ArrayDotLL(left: Expression, right: Expression)
 }
 
 object ArrayDotLL {
-  /** Called from both interpreted eval and generated code. */
+  /** Called from both interpreted eval and generated code. NULL elements
+    * are rejected loudly: ArrayData.getLong on a null slot silently reads
+    * 0, which would diverge from the HOF fold / DuckDB twin (both
+    * propagate NULL) — this expression's contract is bit-equality or an
+    * error, never a silently different number.
+    */
   def dot(a: ArrayData, b: ArrayData): Long = {
     val n = a.numElements()
     require(b.numElements() == n,
       s"array_dot_ll dimension mismatch: $n vs ${b.numElements()}")
     var s = 0L
     var i = 0
-    while (i < n) { s += a.getLong(i) * b.getLong(i); i += 1 }
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"array_dot_ll: null element at index $i")
+      s += a.getLong(i) * b.getLong(i)
+      i += 1
+    }
     s
   }
 }

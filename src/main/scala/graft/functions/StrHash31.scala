@@ -57,10 +57,19 @@ object StrHash31 {
       val b0 = s.getByte(i) & 0xff
       var cp = b0
       var len = 1
-      if (b0 >= 0x80) {
+      // Malformed input must stay SAFE and deterministic: a lone
+      // continuation byte (0x80-0xbf) is consumed as a 1-byte value, and a
+      // truncated multi-byte sequence is clamped to the buffer end —
+      // UTF8String.getByte is an UNCHECKED Platform read, so indexing past
+      // numBytes would read adjacent heap/off-heap memory (nondeterministic
+      // hashes at best, a memory-safety violation at worst). Valid UTF-8 —
+      // everything the engine itself produces — decodes identically to
+      // String.codePointAt.
+      if (b0 >= 0xc0) {
         if ((b0 & 0xe0) == 0xc0) { cp = b0 & 0x1f; len = 2 }
         else if ((b0 & 0xf0) == 0xe0) { cp = b0 & 0x0f; len = 3 }
         else { cp = b0 & 0x07; len = 4 }
+        if (i + len > n) len = n - i // truncated tail: never over-read
         var j = 1
         while (j < len) { cp = (cp << 6) | (s.getByte(i + j) & 0x3f); j += 1 }
       }

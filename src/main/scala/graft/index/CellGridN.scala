@@ -14,7 +14,11 @@ final case class CellGridN(
     extends Serializable {
   val dims: Int = mins.length
   require(maxs.length == dims, "mins/maxs dim mismatch")
-  require(res >= 0 && dims * res <= 62, s"id overflow: $dims dims x $res bits")
+  // res <= 30 guards the Int shift below (1 << 31 is negative, and Scala
+  // shifts mod 32 would silently alias larger res); dims*res <= 62 guards
+  // the packed Long id
+  require(res >= 0 && res <= 30 && dims * res <= 62,
+    s"id overflow: $dims dims x $res bits")
 
   val cellsPerAxis: Int = 1 << res
 

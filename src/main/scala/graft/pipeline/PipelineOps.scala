@@ -511,7 +511,11 @@ object PipelineOps {
     val vecs = emb.select(col("vec_id").as("id"), intVec(col("embedding")).as("v"))
     val kC =
       if (nClusters > 0) nClusters
-      else { // ~√n lists, the standard IVF sizing (clamped to sane ends)
+      else {
+        // ~√n lists, the standard IVF sizing (clamped to sane ends). The
+        // count() is an eager INDEX-BUILD job (parquet footer counts — no
+        // scan); callers on a hot path should pass nClusters explicitly,
+        // as the driver query does.
         val n = emb.count()
         math.max(16, math.min(1024, math.ceil(math.sqrt(n.toDouble)).toInt))
       }
