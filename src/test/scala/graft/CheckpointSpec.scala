@@ -166,4 +166,26 @@ class CheckpointSpec extends AnyFunSuite {
     assert(run().count() == 100)
     assert(calls == 4, "fully-committed stage must be a pure read")
   }
+
+  test("lineage migrates pre-committed_ms checkpoints: old-schema rows " +
+    "order by their ISO instants, mixed files coalesce") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_cp3").toString
+    // an OLD-format _lineage written before committed_ms existed: two
+    // attempts of the same group whose ISO strings sort WRONG
+    // lexicographically — "...05Z" compares AFTER "...05.500Z" ('Z' > '.')
+    // although 5.0 s precedes 5.5 s — exactly the bug the millis column
+    // fixed; migration must still pick the chronologically later attempt
+    Seq(
+      ("s", 0, 99L, "2026-01-01T00:00:05Z", 2L),      // earlier instant, lex-larger
+      ("s", 0, 10L, "2026-01-01T00:00:05.500Z", 1L))  // later instant
+      .toDF("stage", "grp", "rows", "committed_at", "attempt")
+      .write.mode("overwrite").parquet(s"$root/_lineage")
+    val cp = new Checkpoint(spark, root)
+    val row = cp.lineage().collect()
+    assert(row.length == 1)
+    assert(row(0).getAs[Long]("rows") == 10L,
+      "migration must order old rows by instant, not ISO string or attempt")
+  }
 }

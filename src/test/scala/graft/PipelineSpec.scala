@@ -106,6 +106,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(plan.contains("*(1) Project [strhash31"), plan)
   }
 
+  test("StrHash31 is bounds-safe and deterministic on MALFORMED UTF-8 " +
+    "(truncated multi-byte tails, lone continuation bytes)") {
+    import graft.functions.StrHash31
+    import org.apache.spark.unsafe.types.UTF8String
+    // every malformed shape the decoder special-cases: values must be
+    // stable across calls (no over-read of adjacent memory) and the call
+    // must never throw
+    val malformed = Seq(
+      Array(0xf0.toByte),                       // 4-byte lead, no tail
+      Array('a'.toByte, 0xe2.toByte),           // 3-byte lead, truncated
+      Array(0xc3.toByte),                       // 2-byte lead, truncated
+      Array(0x80.toByte),                       // lone continuation byte
+      Array('x'.toByte, 0x9f.toByte, 'y'.toByte), // continuation mid-string
+      Array(0xf0.toByte, 0x9f.toByte)           // 4-byte lead, partial tail
+    )
+    malformed.foreach { bytes =>
+      val s = UTF8String.fromBytes(bytes)
+      val h1 = StrHash31.hash(s)
+      val h2 = StrHash31.hash(UTF8String.fromBytes(bytes.clone()))
+      assert(h1 == h2, s"unstable hash on ${bytes.map(_ & 0xff).mkString(",")}")
+      assert(h1 >= 0 && h1 < StrHash31.P31)
+    }
+    // and valid input still matches String.codePointAt exactly
+    Seq("abc", "a😀b", "日本語").foreach { s =>
+      val local = s.codePoints().toArray.foldLeft(0L)((h, c) =>
+        (h * 31 + c) % StrHash31.P31)
+      assert(StrHash31.hash(UTF8String.fromString(s)) == local)
+    }
+  }
+
   test("ArrayDotLL native expression == HOF fold (negatives, zeros, " +
     "64-dim), mismatched dims fail loudly, codegen on real scans") {
     import spark.implicits._
