@@ -513,14 +513,12 @@ object Queries {
       col("min_x").as("minX"), col("min_y").as("minY"),
       col("max_x").as("maxX"), col("max_y").as("maxY"))
     val pts = points(load(spark, dir, "customer"), "c_custkey").as[PointRow]
-    val d2 = stBoxDistanceSq(
-      col("minX"), col("minY"), col("maxX"), col("maxY"),
-      col("px"), col("py"))
-    // res 6, not the suite's res 4: the orders-rect layer is ~10x denser
-    // than the other layers (600 rects/cell at res 4 -> every query drags
-    // hundreds of candidates through pass A; res 6 puts O(k·10) in a cell —
-    // the "cells sized so the smaller side holds O(k)" rule, BASELINE.md)
-    SpatialOps.knnEnvelopeJoin(pts, geoms, d2, 3, CellGrid.lonLat(6))
+    // Fused per-cell rect-tree probes (knnRectJoinTrees == the generic
+    // knnEnvelopeJoin row for row, spec-pinned) at res 6 — the orders-rect
+    // layer is ~10x denser than the other layers (600 rects/cell at res 4
+    // dragged hundreds of candidates per query; the "cells sized so the
+    // smaller side holds O(k)" rule, BASELINE.md).
+    SpatialOps.knnRectJoinTrees(pts, geoms, 3, CellGrid.lonLat(6))
       .orderBy("id", "rn")
   }
 

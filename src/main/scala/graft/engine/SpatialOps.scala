@@ -723,6 +723,173 @@ object SpatialOps {
       .select(col("id"), col("gid"), col("d2"), col("rn"))
   }
 
+  /** Fused-probe variant of [[knnEnvelopeJoin]] for RECTANGLE layers (the
+    * metric IS the envelope distance, so per-cell `LocalRTree`s of rect
+    * entries answer it exactly — segment layers keep the generic join,
+    * whose d2Expr ranks by true segment distance). Same two-pass bound
+    * scheme and the same reference-cell histogram; the candidate
+    * enumeration + distance evaluation + per-cell top-k all happen inside
+    * [[probeEnvRows]]'s zip of co-partitioned InternalRow iterators — the
+    * probe emits ≤ k rows per (query, cell) plus k-th-distance ties (so
+    * the downstream (d2, gid) window cut is exact), and only that bounded
+    * stream pays the dedup + global window. Output identical to
+    * [[knnEnvelopeJoin]] with the box metric, row for row.
+    */
+  def knnRectJoinTrees(points: Dataset[PointRow], rects: DataFrame,
+      k: Int, grid: CellGrid): DataFrame = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    val parts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val histRows = rects
+      .select(stCell(grid)(col("minX"), col("minY")).as("cell"))
+      .groupBy("cell").count()
+      .as[(Long, Long)].collect().sortBy(_._1)
+    val histKeys = histRows.map(_._1)
+    val histCnts = histRows.map(_._2)
+    val histB = spark.sparkContext.broadcast((histKeys, histCnts))
+
+    // shuffle + sort the rect side ONCE; both probe passes zip against the
+    // same pinned layout (the knnJoinTrees pattern)
+    val rectShuffled = rects
+      .select(
+        explode(stCoverCells(grid)(
+          col("minX"), col("minY"), col("maxX"), col("maxY"))).as("cell"),
+        col("gid"), col("minX"), col("minY"), col("maxX"), col("maxY"))
+      .repartition(parts, col("cell")).sortWithinPartitions("cell")
+      .localCheckpoint(true)
+    val rectRdd = rectShuffled.queryExecution.toRdd
+
+    val candA = points.flatMap { p =>
+      val (hk, hc) = histB.value
+      def cnt(c: Long): Long = {
+        val i = java.util.Arrays.binarySearch(hk, c)
+        if (i >= 0) hc(i) else 0L
+      }
+      val cx = grid.ix(p.x); val cy = grid.iy(p.y)
+      var cum = 0L
+      var ring = 0
+      val cells = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val maxRing = grid.cellsPerAxis
+      while (cum < k && ring <= maxRing) {
+        grid.ring(cx, cy, ring).foreach { c =>
+          val n = cnt(c)
+          if (n > 0) { cells += c; cum += n }
+        }
+        ring += 1
+      }
+      cells.map(c => (c, p.id, p.x, p.y))
+    }.toDF("cell", "id", "px", "py")
+
+    val wAsc = Window.partitionBy("id").orderBy(col("d2"), col("gid"))
+    val dUp = probeEnvRows(candA, rectRdd, k, parts, spark)
+      .join(candA.select(col("id"), col("px"), col("py")).dropDuplicates("id"),
+        Seq("id"))
+      .dropDuplicates("id", "gid")
+      .withColumn("rn", row_number().over(wAsc))
+      .where(col("rn") <= k)
+      .groupBy("id").agg(max("d2").as("dUp"),
+        first("px").as("px"), first("py").as("py"))
+
+    val r = sqrt(col("dUp")) * lit(1.0 + 1e-12) // ulp pad: sqrt rounds
+    val candB = dUp.select(col("id"), col("px"), col("py"),
+      explode(stCoverCells(grid)(
+        col("px") - r, col("py") - r, col("px") + r, col("py") + r)).as("cell"))
+      .select("cell", "id", "px", "py")
+    probeEnvRows(candB, rectRdd, k, parts, spark)
+      .dropDuplicates("id", "gid")
+      .withColumn("rn", row_number().over(wAsc).cast("long"))
+      .where(col("rn") <= k)
+      .select(col("id"), col("gid"), col("d2"), col("rn"))
+  }
+
+  /** Co-partitioned InternalRow probe over RECT-entry trees — the envelope
+    * sibling of [[probeRows]]: `cand` is (cell, id, px, py); `dataRdd`
+    * rows are (cell, gid, minX, minY, maxX, maxY) hash-partitioned into
+    * `parts` by cell and cell-sorted. Each cell run bulk-loads a
+    * `LocalRTree[Long]` of rect entries whose frozen SoA mirror serves
+    * prune-free distance-ordered probes; per query it emits the k nearest
+    * by EXACT box distance (`AABB.distance2` clamps then squares in the
+    * same IEEE order as `stBoxDistanceSq`, so values are oracle-identical)
+    * EXTENDED through float-exact ties at the k-th distance — the
+    * downstream (d2, gid) window cut then never loses a lower-gid tie the
+    * heap's arbitrary order dropped.
+    */
+  private def probeEnvRows(
+      cand: DataFrame,
+      dataRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      k: Int, parts: Int, spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val c = cand.select("cell", "id", "px", "py")
+      .repartition(parts, col("cell")).sortWithinPartitions("cell")
+    val rdd = c.queryExecution.toRdd.zipPartitions(dataRdd) { (qit, dit) =>
+      new Iterator[(Long, Long, Double)] {
+        private var pending = false
+        private var pCell = 0L
+        private var pGid = 0L
+        private val pBox = new Array[Double](4)
+        private def advance(): Unit =
+          if (dit.hasNext) {
+            val r = dit.next()
+            pCell = r.getLong(0); pGid = r.getLong(1)
+            pBox(0) = r.getDouble(2); pBox(1) = r.getDouble(3)
+            pBox(2) = r.getDouble(4); pBox(3) = r.getDouble(5)
+            pending = true
+          } else pending = false
+        advance()
+
+        private var dCell = Long.MinValue
+        private var tree: LocalRTree[Long] = null
+        private val buf = scala.collection.mutable.Queue.empty[(Long, Long, Double)]
+
+        private def loadRun(cell: Long): Unit = {
+          while (pending && pCell < cell) advance()
+          if (!pending || pCell != cell) {
+            dCell = cell; tree = null
+          } else {
+            val es = scala.collection.mutable.ArrayBuffer.empty[Entry[Long]]
+            while (pending && pCell == cell) {
+              es += Entry(AABB.of2d(pBox(0), pBox(1), pBox(2), pBox(3)), pGid)
+              advance()
+            }
+            dCell = cell
+            tree = new LocalRTree[Long](2, 40, 1).bulkLoad(es.toArray)
+          }
+        }
+
+        private def fill(): Unit = {
+          while (buf.isEmpty && qit.hasNext) {
+            val q = qit.next()
+            val cell = q.getLong(0)
+            val qid = q.getLong(1)
+            val qx = q.getDouble(2)
+            val qy = q.getDouble(3)
+            if (cell != dCell) loadRun(cell)
+            if (tree != null) {
+              val it = tree.nearestNeighborIter(Array(qx, qy))
+              var got = 0
+              var kth = Double.MaxValue
+              var done = false
+              while (!done && it.hasNext) {
+                val (e, dd) = it.next()
+                if (got < k) {
+                  buf.enqueue((qid, e.value, dd))
+                  got += 1
+                  if (got == k) kth = dd
+                } else if (dd == kth) { // float-exact tie extension
+                  buf.enqueue((qid, e.value, dd))
+                } else done = true
+              }
+            }
+          }
+        }
+
+        override def hasNext: Boolean = { fill(); buf.nonEmpty }
+        override def next(): (Long, Long, Double) = { fill(); buf.dequeue() }
+      }
+    }
+    spark.createDataset(rdd).toDF("id", "gid", "d2")
+  }
+
   /** Distributed kNN join in d DIMENSIONS over [[graft.index.CellGridN]] —
     * the n-dim tier (reference points are n-dimensional,
     * rstar/src/point.rs:158-179; the 2-D [[knnJoin]] remains the web-geo

@@ -198,6 +198,25 @@ class SpatialOpsSpec extends AnyFunSuite {
     assert(want.size == 300 * 4)
   }
 
+  test("knnRectJoinTrees (fused per-cell rect trees) == knnEnvelopeJoin " +
+    "row for row, including d2 values and rank") {
+    val s = sc
+    import s.implicits._
+    import graft.functions.SpatialFunctions.stBoxDistanceSq
+    val geoms = rects(800, 5500).toDF()
+      .select(col("id").as("gid"), col("minX"), col("minY"),
+        col("maxX"), col("maxY")).localCheckpoint(true)
+    val pts = points(400, 6500).localCheckpoint(true)
+    val d2 = stBoxDistanceSq(col("minX"), col("minY"),
+      col("maxX"), col("maxY"), col("px"), col("py"))
+    def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val fused = asSet(SpatialOps.knnRectJoinTrees(pts, geoms, 4, grid))
+    val generic = asSet(SpatialOps.knnEnvelopeJoin(pts, geoms, d2, 4, grid))
+    assert(fused == generic)
+    assert(generic.size == 400 * 4)
+  }
+
   test("knnEnvelopeJoin counts a spanning geometry once: giant rects " +
     "(covering many cells) are still found and never double-ranked") {
     val s = sc
