@@ -205,11 +205,18 @@ object Bench {
     // true ratio under load (the median under-reads when most pairs carry
     // noise; best-of under-reads when no hi leg ran clean). Every pair
     // ratio is published so the record is auditable either way.
-    val tputLo = pairs.map(_._1).max
-    val tputHi = pairs.map(_._2).max
+    // per-level throughputs: publish BOTH estimators field-for-field —
+    // r2 records carried medians under the names mrows_s_lo/hi and r3
+    // silently switched those names to max-over-pairs, making the fields
+    // apples-to-oranges across rounds. Restore mrows_s_lo/hi = median
+    // (comparable with r2) and add explicit _best fields (r3 semantics).
+    val tputLoMed = median(pairs.map(_._1))
+    val tputHiMed = median(pairs.map(_._2))
+    val tputLoBest = pairs.map(_._1).max
+    val tputHiBest = pairs.map(_._2).max
     val effs = pairs.map { case (lo, hi) => hi / (lo * (hiN.toDouble / loN)) }
     val eff = median(effs)
-    val effBestLevels = tputHi / (tputLo * (hiN.toDouble / loN))
+    val effBestLevels = tputHiBest / (tputLoBest * (hiN.toDouble / loN))
     // Peak must be measured AT peak width — an 8-core hi leg may not be
     // attributed to 32 cores; three runs, max (capability under noise:
     // peak legs are the shortest, so a single load spike hits hardest).
@@ -221,7 +228,7 @@ object Bench {
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val effsJson = effs.map(e => f"$e%.3f").mkString("[", ",", "]")
     val scaling =
-      f"""{"cores_lo":$loN,"cores_hi":$hiN,"mrows_s_lo":$tputLo%.4f,"mrows_s_hi":$tputHi%.4f,"efficiency":$eff%.3f,"efficiency_best_levels":$effBestLevels%.3f,"pair_efficiencies":$effsJson,"peak_cores":$peakN,"mrows_s_peak":$tputPeak%.4f,"pages":$nPages}"""
+      f"""{"cores_lo":$loN,"cores_hi":$hiN,"mrows_s_lo":$tputLoMed%.4f,"mrows_s_hi":$tputHiMed%.4f,"mrows_s_lo_best":$tputLoBest%.4f,"mrows_s_hi_best":$tputHiBest%.4f,"efficiency":$eff%.3f,"efficiency_best_levels":$effBestLevels%.3f,"pair_efficiencies":$effsJson,"peak_cores":$peakN,"mrows_s_peak":$tputPeak%.4f,"pages":$nPages}"""
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","throughput_mrows_s":$tputPeak%.4f,"scaling":$scaling}""")
   }

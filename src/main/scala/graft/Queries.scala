@@ -276,6 +276,52 @@ object Queries {
        |SELECT qid, id, d2, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= $K
        |ORDER BY qid, rn""".stripMargin
 
+  // ------------------------------------------- n-dim tier: 3-D kNN join
+
+  /** Grid for the 3-D kNN join: unit cube, res 3 → 512 cells (≈3 pts/cell
+    * at sf0.01, ≈29 at sf0.1 — the shell expansion stays local).
+    */
+  val gridNd: graft.index.CellGridN = graft.index.CellGridN.unit(3, 3)
+
+  /** J2 in d=3 over [[graft.index.CellGridN]] (`SpatialOps.knnJoinNd`) —
+    * the reference tree is n-dimensional (rstar/src/point.rs:158-179);
+    * this lifts the n-dim distributed tier into the driver-oracle class.
+    * d2 is the same IEEE-exact left fold (((0+dx²)+dy²)+dz²) as the SQL
+    * twin's left-associative sum, so hashes are bit-exact.
+    */
+  def knnNd(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val data = load(spark, dir, "customer")
+      .select(col("c_custkey").cast("long").as("id"),
+        array(u3(col("c_custkey"), M1), u3(col("c_custkey"), M2),
+          u3(col("c_custkey"), M3)).as("p"))
+      .as[(Long, Array[Double])]
+    val qs = load(spark, dir, "nation")
+      .select(col("n_nationkey").cast("long").as("id"),
+        array(u3(col("n_nationkey"), M4), u3(col("n_nationkey"), M5),
+          u3(col("n_nationkey"), M6)).as("p"))
+      .as[(Long, Array[Double])]
+    SpatialOps.knnJoinNd(qs, data, K, gridNd)
+      .orderBy("qid", "rn")
+  }
+
+  val knnNdSql: String =
+    s"""WITH d AS (SELECT c_custkey AS id,
+       |  ${u3Sql("c_custkey", M1)} AS x, ${u3Sql("c_custkey", M2)} AS y,
+       |  ${u3Sql("c_custkey", M3)} AS z FROM customer),
+       |q AS (SELECT CAST(n_nationkey AS BIGINT) AS qid,
+       |  ${u3Sql("CAST(n_nationkey AS BIGINT)", M4)} AS x,
+       |  ${u3Sql("CAST(n_nationkey AS BIGINT)", M5)} AS y,
+       |  ${u3Sql("CAST(n_nationkey AS BIGINT)", M6)} AS z FROM nation),
+       |j AS (SELECT q.qid, d.id,
+       |  (d.x - q.x)*(d.x - q.x) + (d.y - q.y)*(d.y - q.y)
+       |   + (d.z - q.z)*(d.z - q.z) AS d2
+       |  FROM q CROSS JOIN d),
+       |r AS (SELECT qid, id, d2,
+       |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2, id) AS rn FROM j)
+       |SELECT qid, id, d2, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= $K
+       |ORDER BY qid, rn""".stripMargin
+
   // ------------------------------------------- K3: co-equal nearest ties
 
   def nnTies(spark: SparkSession, dir: String): DataFrame = {

@@ -23,6 +23,7 @@ object SparkEntry {
     "q_within_distance" -> (Queries.withinDistance(_, _)),
     "q_knn_join" -> (Queries.knnJoin(_, _)),
     "q_knn_trees" -> (Queries.knnJoinTrees(_, _)),
+    "q_knn_nd" -> (Queries.knnNd(_, _)),
     "q_nn_ties" -> (Queries.nnTies(_, _)),
     "q_intersection_join" -> (Queries.intersectionJoin(_, _)),
     "q_distance_ordered" -> (Queries.distanceOrdered(_, _)),
@@ -70,6 +71,7 @@ object SparkEntry {
     "q_within_distance" -> Queries.withinDistanceSql,
     "q_knn_join" -> Queries.knnJoinSql,
     "q_knn_trees" -> Queries.knnJoinSql, // same exact semantics, fused path
+    "q_knn_nd" -> Queries.knnNdSql,
     "q_nn_ties" -> Queries.nnTiesSql,
     "q_intersection_join" -> Queries.intersectionJoinSql,
     "q_distance_ordered" -> Queries.distanceOrderedSql,

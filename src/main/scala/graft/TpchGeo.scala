@@ -18,6 +18,8 @@ object TpchGeo {
   val M2 = 2246822519L
   val M3 = 1099511628211L
   val M4 = 179424673L
+  val M5 = 694847539L
+  val M6 = 2860486313L
   val P = 1000003L
   val PW = 997L
 
@@ -36,6 +38,13 @@ object TpchGeo {
   def py(key: Column): Column = frac(key, M2) * lit(170.0) - lit(85.0)
   def pxSql(key: String): String = s"(${fracSql(key, M1)} * 360.0 - 180.0)"
   def pySql(key: String): String = s"(${fracSql(key, M2)} * 170.0 - 85.0)"
+
+  /** Unit-interval coordinate in [0,1) for the n-dim tier (3-D kNN over
+    * CellGridN.unit): pick per-axis multipliers from M1..M6 so data and
+    * query layouts are independent.
+    */
+  def u3(key: Column, m: Long): Column = frac(key, m)
+  def u3Sql(key: String, m: Long): String = fracSql(key, m)
 
   /** Query-point coordinates (different multipliers, independent layout). */
   def qx(key: Column): Column = frac(key, M3) * lit(360.0) - lit(180.0)

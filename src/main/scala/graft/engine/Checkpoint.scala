@@ -90,17 +90,20 @@ final class Checkpoint(spark: SparkSession, root: String) {
         Seq(count(lit(1)).as("rows"),
           lit(Double.NaN).as("min_x"), lit(Double.NaN).as("min_y"),
           lit(Double.NaN).as("max_x"), lit(Double.NaN).as("max_y"))
+    // one clock read: committed_at (human-facing ISO) and committed_ms
+    // (ordering key) must denote the same instant
+    val now = java.time.Instant.now()
     df.agg(aggs.head, aggs.tail: _*)
       .select(lit(stage).as("stage"), lit(g).as("grp"), col("rows"),
         col("min_x"), col("min_y"), col("max_x"), col("max_y"),
         lit(wallMs).as("wall_ms"),
-        lit(java.time.Instant.now().toString).as("committed_at"),
+        lit(now.toString).as("committed_at"),
         // fixed-width ordering key: Instant.toString emits 0/3/6/9
         // fractional digits, and at a shared prefix the SHORTER string
         // sorts lexicographically after the longer one ("...00Z" >
         // "...00.500Z"), so the ISO column is for humans only — ordering
         // uses epoch millis, which compare correctly across JVM restarts.
-        lit(java.time.Instant.now().toEpochMilli).as("committed_ms"),
+        lit(now.toEpochMilli).as("committed_ms"),
         // attempt id: a crash between lineage append and marker creation
         // makes resume recompute the group and append a second row;
         // lineage() keeps only the latest attempt per (stage, grp) so
