@@ -432,6 +432,25 @@ object PipelineQueries {
     MediaOps.decodeImages(MediaOps.pngTable(docs(spark, dir)))
       .toDF().orderBy("media_id")
 
+  /** REAL audio decode, end-to-end: per-doc deterministic WAVs (16-bit LE
+    * mono PCM, every sample an integer function of doc_id) are containered
+    * distributed via `javax.sound.sampled`, then parsed back in the batched
+    * mapPartitions pass; the oracle recomputes frame count and the
+    * signed-amplitude sum ARITHMETICALLY, so a match proves the engine
+    * decoded the actual RIFF data chunk — all n samples of it.
+    */
+  def mediaAudio(spark: SparkSession, dir: String): DataFrame =
+    MediaOps.decodeAudio(MediaOps.wavTable(docs(spark, dir)))
+      .toDF().orderBy("media_id")
+
+  val mediaAudioSql: String =
+    """WITH ids AS (SELECT doc_id, 400 + doc_id % 256 AS n FROM documents),
+      |s AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM ids)
+      |SELECT doc_id AS media_id, CAST(n AS BIGINT) AS n_samples,
+      | CAST(8000 AS BIGINT) AS sample_rate,
+      | CAST(SUM((doc_id*31 + i*17) % 65536 - 32768) AS BIGINT) AS amp_sum
+      |FROM s GROUP BY doc_id, n ORDER BY media_id""".stripMargin
+
   val mediaDecodeSql: String =
     """WITH ids AS (SELECT doc_id, 8 + doc_id % 16 AS w, 8 + doc_id % 12 AS h
       |             FROM documents),

@@ -57,7 +57,8 @@ object SparkEntry {
     "q_knn_rects" -> (Queries.knnRects(_, _)),
     "q_line_knn" -> (Queries.lineKnn(_, _)),
     "q_media_meta" -> (PipelineQueries.mediaMeta(_, _)),
-    "q_media_decode" -> (PipelineQueries.mediaDecode(_, _))
+    "q_media_decode" -> (PipelineQueries.mediaDecode(_, _)),
+    "q_media_audio" -> (PipelineQueries.mediaAudio(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -106,6 +107,7 @@ object SparkEntry {
     "q_knn_rects" -> Queries.knnRectsSql,
     "q_line_knn" -> Queries.lineKnnSql,
     "q_media_meta" -> PipelineQueries.mediaMetaSql,
-    "q_media_decode" -> PipelineQueries.mediaDecodeSql
+    "q_media_decode" -> PipelineQueries.mediaDecodeSql,
+    "q_media_audio" -> PipelineQueries.mediaAudioSql
   )
 }

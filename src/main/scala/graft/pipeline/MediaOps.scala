@@ -11,11 +11,13 @@ import org.apache.spark.sql.functions._
   * `javax.imageio` (no external jars) inside the batched mapPartitions
   * seam — [[decodeImages]] reads actual width/height/pixels, and the
   * driver oracle pins decode(encode(params)) == params bit-exactly.
-  * AUDIO/VIDEO decode remains a clearly-marked stub (the JDK ships no
-  * codecs for them); for those, everything Spark-side is still real and
-  * tested — schema, binary column flow, batch shape, explode-style frame
-  * sampling — and a codec slots into `decodeBatch` without touching any
-  * plan.
+  * AUDIO decode is REAL too: WAV/PCM payloads are containered and parsed
+  * by `javax.sound.sampled` ([[syntheticWav]]/[[decodeAudio]]), with a
+  * full-stream amplitude checksum as decode evidence. VIDEO decode remains
+  * the one clearly-marked stub (the JDK ships no video codec); for it,
+  * everything Spark-side is still real and tested — schema, binary column
+  * flow, batch shape, explode-style frame sampling — and a codec slots
+  * into `decodeBatch` without touching any plan.
   */
 object MediaOps {
 
@@ -86,6 +88,76 @@ object MediaOps {
           y += 1
         }
         ImageMeta(row.media_id, img.getWidth.toLong, img.getHeight.toLong, s)
+      }
+    }
+  }
+
+  final case class AudioRow(media_id: Long, payload: Array[Byte])
+  final case class AudioMeta(
+      media_id: Long, n_samples: Long, sample_rate: Long, amp_sum: Long)
+
+  /** Deterministic REAL WAV: 16-bit signed little-endian mono PCM whose
+    * every sample is a pure integer function of `id`, containered by the
+    * JDK's own `javax.sound.sampled` writer (zero external jars — the same
+    * move that made PNG decode real). An oracle recomputes the sample
+    * stream arithmetically, so a matching amplitude checksum proves the
+    * engine parsed the RIFF/fmt/data chunks and de-interleaved actual PCM.
+    */
+  def syntheticWav(id: Long): Array[Byte] = {
+    val n = 400 + (id % 256).toInt
+    val bytes = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val v = (((id * 31 + i * 17) % 65536) - 32768).toInt
+      bytes(2 * i) = (v & 0xff).toByte // little-endian int16
+      bytes(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      8000f, 16, 1, /*signed=*/ true, /*bigEndian=*/ false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** An audio table with real WAV payloads, one per document id — encoded
+    * distributed, like [[pngTable]].
+    */
+  def wavTable(docs: DataFrame): Dataset[AudioRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map(id => AudioRow(id, syntheticWav(id)))
+  }
+
+  /** REAL audio decode: parse each WAV payload with the JDK's
+    * `javax.sound.sampled.AudioSystem` in a batched per-partition pass,
+    * emitting the measured frame count, sample rate, and a full-stream
+    * signed-amplitude sum — decoded from the container's data chunk, not
+    * recomputed from the id, so a checksum match is decode evidence.
+    */
+  def decodeAudio(ds: Dataset[AudioRow]): Dataset[AudioMeta] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions { it =>
+      it.map { row =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(row.payload))
+        val f = ais.getFormat
+        require(f.getSampleSizeInBits == 16 && f.getChannels == 1 &&
+          !f.isBigEndian, s"unexpected WAV format for media ${row.media_id}")
+        val n = ais.getFrameLength
+        val pcm = ais.readAllBytes()
+        ais.close()
+        var s = 0L
+        var i = 0
+        while (i + 1 < pcm.length) {
+          s += (((pcm(i + 1) & 0xff) << 8) | (pcm(i) & 0xff)).toShort.toLong
+          i += 2
+        }
+        AudioMeta(row.media_id, n, f.getSampleRate.toLong, s)
       }
     }
   }

@@ -316,4 +316,28 @@ class PipelineSpec extends AnyFunSuite {
         r.payload(2) == 'N'.toByte && r.payload(3) == 'G'.toByte)
     }
   }
+
+  test("REAL audio decode: distributed WAV encode -> javax.sound.sampled " +
+    "decode round-trips frame count, rate, and every sample") {
+    import spark.implicits._
+    def expected(id: Long): (Long, Long) = {
+      val n = 400 + (id % 256)
+      var s = 0L
+      for (i <- 0L until n) s += (id * 31 + i * 17) % 65536 - 32768
+      (n, s)
+    }
+    val got = MediaOps.decodeAudio(MediaOps.wavTable(docs)).collect()
+    assert(got.length == docs.count())
+    got.foreach { m =>
+      val (n, s) = expected(m.media_id)
+      assert((m.n_samples, m.sample_rate, m.amp_sum) == ((n, 8000L, s)),
+        s"audio decode mismatch for ${m.media_id}")
+    }
+    // the payloads really are RIFF/WAVE containers, not raw PCM
+    val magic = MediaOps.wavTable(docs).take(3)
+    magic.foreach { r =>
+      assert(new String(r.payload.take(4), "US-ASCII") == "RIFF" &&
+        new String(r.payload.slice(8, 12), "US-ASCII") == "WAVE")
+    }
+  }
 }
