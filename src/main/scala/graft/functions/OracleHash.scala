@@ -63,6 +63,15 @@ object OracleHash {
     org.apache.spark.sql.graft.ColumnShim.column(
       StrHash31(org.apache.spark.sql.graft.ColumnShim.expression(s)))
 
+  /** Whole minhash signature (array of `numPerms` 31-bit minima) computed
+    * by the native [[MinHashSig]] expression in one pass per document —
+    * bit-identical to exploding shingles and min-aggregating
+    * `affine(polyHash31(shingle))` per permutation.
+    */
+  def minhashSig(s: Column, n: Int, numPerms: Int): Column =
+    org.apache.spark.sql.graft.ColumnShim.column(
+      MinHashSig(org.apache.spark.sql.graft.ColumnShim.expression(s), n, numPerms))
+
   /** DuckDB twin of [[polyHash31]]. */
   def polyHash31Sql(s: String): String =
     s"list_reduce(list_prepend(0::BIGINT, list_transform(string_split($s, ''), " +

@@ -49,10 +49,18 @@ object StrHash31 {
     * java.lang.String copy (the hot shingle-hash path calls this once per
     * shingle; the copy was the only allocation left in the loop).
     */
-  def hash(s: UTF8String): Long = {
+  def hash(s: UTF8String): Long = hashRange(s, 0, s.numBytes())
+
+  /** Hash of the codepoints in byte range [from, until) — the shingle
+    * windows of [[MinHashSig]] hash sub-slices of one UTF8String without
+    * materializing per-shingle strings. `until` must be ≤ numBytes (both
+    * callers derive it from numBytes); range bounds on multi-byte
+    * boundaries decode exactly like a standalone slice.
+    */
+  def hashRange(s: UTF8String, from: Int, until: Int): Long = {
     var h = 0L
-    var i = 0
-    val n = s.numBytes()
+    var i = from
+    val n = until
     while (i < n) {
       val b0 = s.getByte(i) & 0xff
       var cp = b0

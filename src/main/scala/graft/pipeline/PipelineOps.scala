@@ -139,7 +139,7 @@ object PipelineOps {
     * [[ngramJaccardPairs]], whose candidate set is dense on overlap-heavy
     * corpora — it computes intersections by multiplicity instead.
     */
-  private def exactJaccardVerify(sh: DataFrame, cand0: DataFrame,
+  private def exactJaccardVerify(docs: DataFrame, n: Int, cand0: DataFrame,
       threshold: Double): DataFrame = {
     // The candidate set is TINY (near-dup cluster structure) but EXPENSIVE
     // (it sits downstream of the full shingle shuffle / banding), and it
@@ -151,8 +151,15 @@ object PipelineOps {
     val cand = cand0.localCheckpoint(true)
     val candDocs = cand.select(col("a").as("doc_id"))
       .union(cand.select(col("b").as("doc_id"))).distinct()
-    val cnt = sh.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
-      .groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // Shingle only the candidate docs: the semi-join sits BELOW the
+    // explode, so the (interpreted-HOF, string-building) shingle transform
+    // touches |cand| docs instead of the corpus — and since all three
+    // subtrees recompute their shingle input, three corpus-wide explodes
+    // become three candidate-sized ones. Per-doc shingle sets (and so
+    // Jaccard) are unchanged: the filter is per-document, not per-shingle.
+    val sh = shingles(
+      docs.join(broadcast(candDocs), Seq("doc_id"), "left_semi"), n)
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val shA = sh.toDF("a", "shingle").join(broadcast(cand), Seq("a"))
     val shB = sh.toDF("b", "shingle").join(
       broadcast(cand.select(col("b")).distinct()), Seq("b"), "left_semi")
@@ -183,16 +190,21 @@ object PipelineOps {
       bands: Int = 4): DataFrame = {
     import graft.functions.OracleHash._
     val rowsPerBand = numPerms / bands
-    val sigCols = (0 until numPerms).map(p =>
-      min(affine(col("sh31"), permA(p), permB(p))).as(s"h$p"))
-    val sig = shingles(docs, n)
-      .withColumn("sh31", polyHash31(col("shingle")))
-      .groupBy("doc_id")
-      .agg(sigCols.head, sigCols.tail: _*)
+    // whole signature per document in ONE native-expression pass — no
+    // shingle explode, no numPerms-column aggregation (and so no shuffle
+    // at all before LSH banding). The exploded + min-agg formulation this
+    // replaces carried per-shingle HOF/string allocation that showed up as
+    // sporadic full-GC outliers at 32 perms (clean corpus). Bit-identical:
+    // MinHashSig hashes the same shingle byte spans with the same
+    // OracleHash affine family.
+    val toks = split(col("text"), " ")
+    val sig = docs
+      .where(size(toks) >= n) // same short-doc gate as shingles()
+      .select(col("doc_id"), minhashSig(col("text"), n, numPerms).as("sig"))
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
-        combine62((0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}")))
-          .as("band_hash"))
+        combine62((0 until rowsPerBand).map(r =>
+          element_at(col("sig"), b * rowsPerBand + r + 1))).as("band_hash"))
     }
     sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"),
@@ -216,7 +228,7 @@ object PipelineOps {
     // exact verification restricted to candidates — broadcast-joined, so
     // the shingle stream is recomputed map-side (no cache to leak, no
     // full-table shuffle; same shape as ngramJaccardPairs' verify)
-    exactJaccardVerify(shingles(docs, n), cand, threshold)
+    exactJaccardVerify(docs, n, cand, threshold)
   }
 
   // --------------------------------------------------------------- SimHash

@@ -52,6 +52,39 @@ class PipelineSpec extends AnyFunSuite {
     assert(exact.nonEmpty, "fixture should contain planted near-duplicates")
   }
 
+  test("MinHashSig native expression == exploded shingle min-agg, " +
+    "bit-for-bit, incl. multi-byte and consecutive-space docs") {
+    import graft.functions.OracleHash._
+    val n = 3; val numPerms = 32
+    // fixture docs PLUS adversarial rows: multi-byte codepoints, doubled
+    // spaces (empty tokens), leading/trailing spaces
+    val extra = spark.createDataFrame(Seq(
+      (100001L, "héllo wörld żółć 漢字 spark spark join"),
+      (100002L, "a  b  c  d  e  f"),
+      (100003L, " leading and trailing spaces here "),
+      (100004L, "exactly three toks"))).toDF("doc_id", "text")
+    val d = docs.select("doc_id", "text").union(extra)
+    // the formulation minhashBands replaced, inlined as the oracle
+    val sigCols = (0 until numPerms).map(p =>
+      min(affine(col("sh31"), permA(p), permB(p))).as(s"h$p"))
+    val expected = PipelineOps.shingles(d, n)
+      .withColumn("sh31", polyHash31(col("shingle")))
+      .groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+      .collect()
+      .map(r => r.getLong(0) -> (1 to numPerms).map(r.getLong).toVector)
+      .toMap
+    val got = d.where(size(split(col("text"), " ")) >= n)
+      .select(col("doc_id"), minhashSig(col("text"), n, numPerms).as("sig"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toVector).toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (id, sig) =>
+      assert(sig == expected(id), s"signature mismatch for doc $id")
+    }
+    assert(got.contains(100001L) && got.contains(100002L) &&
+      got.contains(100004L))
+  }
+
   test("simhash: exact near-duplicates have small Hamming distance, " +
     "random pairs do not") {
     val fp = PipelineOps.simhash(docs).collect()
