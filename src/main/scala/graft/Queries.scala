@@ -597,9 +597,12 @@ object Queries {
       .withColumn("maxX", greatest(col("x1"), col("x2")))
       .withColumn("maxY", greatest(col("y1"), col("y2")))
     val pts = points(load(spark, dir, "customer"), "c_custkey").as[PointRow]
-    val d2 = stLineDistanceSq(
-      col("x1"), col("y1"), col("x2"), col("y2"), col("px"), col("py"))
-    SpatialOps.knnEnvelopeJoin(pts, geoms, d2, 3, grid).orderBy("id", "rn")
+    // Fused per-cell segment-tree probes (knnSegJoinTrees == the generic
+    // knnEnvelopeJoin row for row, spec-pinned): the envelope iterator is
+    // the lower bound, refined to exact segment distance — at res 6 like
+    // the rect layer (same density argument).
+    SpatialOps.knnSegJoinTrees(pts, geoms, 3, CellGrid.lonLat(6))
+      .orderBy("id", "rn")
   }
 
   val lineKnnSql: String = {

@@ -890,6 +890,225 @@ object SpatialOps {
     spark.createDataset(rdd).toDF("id", "gid", "d2")
   }
 
+  /** Scala twin of `SpatialFunctions.stLineDistanceSq` — the SAME ops in
+    * the SAME textual order (project, clamp, displace, square-sum), so the
+    * fused segment probe produces bit-identical doubles to the Column plan
+    * and its SQL oracle. NOT `LineObj.distance2`: that returns an endpoint
+    * VERBATIM when the clamp saturates, where this form computes
+    * `x1 + 1.0·dx` — a different rounding of the same point; oracle parity
+    * requires the column form's arithmetic. Degenerate (zero-length)
+    * segments divide by zero like the column does — layers are
+    * non-degenerate by construction (ANSI Spark would have errored).
+    */
+  def segDistanceSq(x1: Double, y1: Double, x2: Double, y2: Double,
+      px: Double, py: Double): Double = {
+    val dx = x2 - x1
+    val dy = y2 - y1
+    val len2 = dx * dx + dy * dy
+    val t = ((px - x1) * dx + (py - y1) * dy) / len2
+    val tc = math.min(1.0, math.max(0.0, t))
+    val nx = x1 + tc * dx
+    val ny = y1 + tc * dy
+    (px - nx) * (px - nx) + (py - ny) * (py - ny)
+  }
+
+  /** Fused-probe variant of [[knnEnvelopeJoin]] for SEGMENT layers — the
+    * sibling of [[knnRectJoinTrees]] where the ranking metric (true
+    * point-segment distance, rstar/src/primitives/line.rs:71-113) is NOT
+    * the tree's envelope metric. The per-cell tree still drives the probe:
+    * its distance-ordered envelope iterator yields candidates by box
+    * distance — a LOWER BOUND of the segment distance — and the probe
+    * refines each candidate to its exact [[segDistanceSq]], stopping once
+    * the next envelope distance strictly exceeds the current k-th exact
+    * distance (any unvisited segment then has seg-d2 ≥ box-d2 > k-th, so
+    * it can neither enter the top k nor tie at the k-th — the classic
+    * lower-bound-pruned NN argument, exact). Emits ≤ k rows per
+    * (query, cell) plus float-exact ties at the k-th distance; the same
+    * two-pass bound scheme, dedup, and (d2, gid) window as the generic
+    * join make the output identical row for row.
+    *
+    * `segs` needs (gid, x1, y1, x2, y2, minX, minY, maxX, maxY).
+    */
+  def knnSegJoinTrees(points: Dataset[PointRow], segs: DataFrame,
+      k: Int, grid: CellGrid): DataFrame = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    val parts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val histRows = segs
+      .select(stCell(grid)(col("minX"), col("minY")).as("cell"))
+      .groupBy("cell").count()
+      .as[(Long, Long)].collect().sortBy(_._1)
+    val histKeys = histRows.map(_._1)
+    val histCnts = histRows.map(_._2)
+    val histB = spark.sparkContext.broadcast((histKeys, histCnts))
+
+    // shuffle + sort the segment side ONCE; both probe passes zip against
+    // the same pinned layout (the knnRectJoinTrees pattern)
+    val segShuffled = segs
+      .select(
+        explode(stCoverCells(grid)(
+          col("minX"), col("minY"), col("maxX"), col("maxY"))).as("cell"),
+        col("gid"), col("x1"), col("y1"), col("x2"), col("y2"))
+      .repartition(parts, col("cell")).sortWithinPartitions("cell")
+      .localCheckpoint(true)
+    val segRdd = segShuffled.queryExecution.toRdd
+
+    val candA = points.flatMap { p =>
+      val (hk, hc) = histB.value
+      def cnt(c: Long): Long = {
+        val i = java.util.Arrays.binarySearch(hk, c)
+        if (i >= 0) hc(i) else 0L
+      }
+      val cx = grid.ix(p.x); val cy = grid.iy(p.y)
+      var cum = 0L
+      var ring = 0
+      val cells = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val maxRing = grid.cellsPerAxis
+      while (cum < k && ring <= maxRing) {
+        grid.ring(cx, cy, ring).foreach { c =>
+          val n = cnt(c)
+          if (n > 0) { cells += c; cum += n }
+        }
+        ring += 1
+      }
+      cells.map(c => (c, p.id, p.x, p.y))
+    }.toDF("cell", "id", "px", "py")
+
+    val wAsc = Window.partitionBy("id").orderBy(col("d2"), col("gid"))
+    val dUp = probeSegRows(candA, segRdd, k, parts, spark)
+      .join(candA.select(col("id"), col("px"), col("py")).dropDuplicates("id"),
+        Seq("id"))
+      .dropDuplicates("id", "gid")
+      .withColumn("rn", row_number().over(wAsc))
+      .where(col("rn") <= k)
+      .groupBy("id").agg(max("d2").as("dUp"),
+        first("px").as("px"), first("py").as("py"))
+
+    val r = sqrt(col("dUp")) * lit(1.0 + 1e-12) // ulp pad: sqrt rounds
+    val candB = dUp.select(col("id"), col("px"), col("py"),
+      explode(stCoverCells(grid)(
+        col("px") - r, col("py") - r, col("px") + r, col("py") + r)).as("cell"))
+      .select("cell", "id", "px", "py")
+    probeSegRows(candB, segRdd, k, parts, spark)
+      .dropDuplicates("id", "gid")
+      .withColumn("rn", row_number().over(wAsc).cast("long"))
+      .where(col("rn") <= k)
+      .select(col("id"), col("gid"), col("d2"), col("rn"))
+  }
+
+  /** Co-partitioned InternalRow probe over SEGMENT-entry trees: `cand` is
+    * (cell, id, px, py); `dataRdd` rows are (cell, gid, x1, y1, x2, y2)
+    * hash-partitioned into `parts` by cell and cell-sorted. Each cell run
+    * bulk-loads a `LocalRTree` of segment ENVELOPES (values index parallel
+    * coordinate arrays); probes walk the distance-ordered envelope
+    * iterator, refine to exact [[segDistanceSq]], and cut with the
+    * lower-bound rule (stop at box-d2 strictly above the k-th exact d2).
+    * Emits each query's k nearest by exact segment distance EXTENDED
+    * through float-exact ties at the k-th — the downstream (d2, gid)
+    * window cut then never loses a lower-gid tie.
+    */
+  private def probeSegRows(
+      cand: DataFrame,
+      dataRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      k: Int, parts: Int, spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val c = cand.select("cell", "id", "px", "py")
+      .repartition(parts, col("cell")).sortWithinPartitions("cell")
+    val rdd = c.queryExecution.toRdd.zipPartitions(dataRdd) { (qit, dit) =>
+      new Iterator[(Long, Long, Double)] {
+        private var pending = false
+        private var pCell = 0L
+        private var pGid = 0L
+        private val pSeg = new Array[Double](4)
+        private def advance(): Unit =
+          if (dit.hasNext) {
+            val r = dit.next()
+            pCell = r.getLong(0); pGid = r.getLong(1)
+            pSeg(0) = r.getDouble(2); pSeg(1) = r.getDouble(3)
+            pSeg(2) = r.getDouble(4); pSeg(3) = r.getDouble(5)
+            pending = true
+          } else pending = false
+        advance()
+
+        private var dCell = Long.MinValue
+        private var tree: LocalRTree[Long] = null
+        private var gids: Array[Long] = null
+        private var xs1: Array[Double] = null
+        private var ys1: Array[Double] = null
+        private var xs2: Array[Double] = null
+        private var ys2: Array[Double] = null
+        private val buf = scala.collection.mutable.Queue.empty[(Long, Long, Double)]
+
+        private def loadRun(cell: Long): Unit = {
+          while (pending && pCell < cell) advance()
+          if (!pending || pCell != cell) {
+            dCell = cell; tree = null
+          } else {
+            val g = scala.collection.mutable.ArrayBuffer.empty[Long]
+            val a1 = scala.collection.mutable.ArrayBuffer.empty[Double]
+            val b1 = scala.collection.mutable.ArrayBuffer.empty[Double]
+            val a2 = scala.collection.mutable.ArrayBuffer.empty[Double]
+            val b2 = scala.collection.mutable.ArrayBuffer.empty[Double]
+            while (pending && pCell == cell) {
+              g += pGid; a1 += pSeg(0); b1 += pSeg(1); a2 += pSeg(2); b2 += pSeg(3)
+              advance()
+            }
+            gids = g.toArray; xs1 = a1.toArray; ys1 = b1.toArray
+            xs2 = a2.toArray; ys2 = b2.toArray
+            val es = Array.tabulate(gids.length) { i =>
+              Entry(AABB.of2d(
+                math.min(xs1(i), xs2(i)), math.min(ys1(i), ys2(i)),
+                math.max(xs1(i), xs2(i)), math.max(ys1(i), ys2(i))), i.toLong)
+            }
+            dCell = cell
+            tree = new LocalRTree[Long](2, 40, 1).bulkLoad(es)
+          }
+        }
+
+        private def fill(): Unit = {
+          while (buf.isEmpty && qit.hasNext) {
+            val q = qit.next()
+            val cell = q.getLong(0)
+            val qid = q.getLong(1)
+            val qx = q.getDouble(2)
+            val qy = q.getDouble(3)
+            if (cell != dCell) loadRun(cell)
+            if (tree != null) {
+              val it = tree.nearestNeighborIter(Array(qx, qy))
+              // size-k max-heap of exact distances: peek = current k-th
+              val heap = new java.util.PriorityQueue[java.lang.Double](
+                k, java.util.Collections.reverseOrder())
+              val evald = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+              var done = false
+              while (!done && it.hasNext) {
+                val (e, boxD2) = it.next() // ascending envelope distance
+                if (heap.size == k && boxD2 > heap.peek()) done = true
+                else {
+                  val i = e.value.toInt
+                  val d2 = segDistanceSq(xs1(i), ys1(i), xs2(i), ys2(i), qx, qy)
+                  evald += ((gids(i), d2))
+                  if (heap.size < k) heap.add(d2)
+                  else if (d2 < heap.peek()) { heap.poll(); heap.add(d2) }
+                }
+              }
+              if (evald.nonEmpty) {
+                val kth: Double =
+                  if (heap.size == k) heap.peek() else Double.MaxValue
+                evald.foreach { case (g, d) =>
+                  if (d <= kth) buf.enqueue((qid, g, d))
+                }
+              }
+            }
+          }
+        }
+
+        override def hasNext: Boolean = { fill(); buf.nonEmpty }
+        override def next(): (Long, Long, Double) = { fill(); buf.dequeue() }
+      }
+    }
+    spark.createDataset(rdd).toDF("id", "gid", "d2")
+  }
+
   /** Distributed kNN join in d DIMENSIONS over [[graft.index.CellGridN]] —
     * the n-dim tier (reference points are n-dimensional,
     * rstar/src/point.rs:158-179; the 2-D [[knnJoin]] remains the web-geo

@@ -217,6 +217,52 @@ class SpatialOpsSpec extends AnyFunSuite {
     assert(generic.size == 400 * 4)
   }
 
+  test("knnSegJoinTrees (fused per-cell segment trees, lower-bound-pruned " +
+    "refinement) == knnEnvelopeJoin == brute force, row for row incl. d2") {
+    val s = sc
+    import s.implicits._
+    import graft.functions.SpatialFunctions.stLineDistanceSq
+    // diagonal segments of the rect fixture, +0.01 so none is degenerate
+    val segs = rects(700, 7000).toDF()
+      .select(col("id").as("gid"),
+        col("minX").as("x1"), col("minY").as("y1"),
+        (col("maxX") + lit(0.01)).as("x2"), col("maxY").as("y2"))
+      .withColumn("minX", least(col("x1"), col("x2")))
+      .withColumn("minY", least(col("y1"), col("y2")))
+      .withColumn("maxX", greatest(col("x1"), col("x2")))
+      .withColumn("maxY", greatest(col("y1"), col("y2")))
+      .localCheckpoint(true)
+    val pts = points(350, 7500).localCheckpoint(true)
+    val d2 = stLineDistanceSq(
+      col("x1"), col("y1"), col("x2"), col("y2"), col("px"), col("py"))
+    def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val fused = asSet(SpatialOps.knnSegJoinTrees(pts, segs, 4, grid))
+    val generic = asSet(SpatialOps.knnEnvelopeJoin(pts, segs, d2, 4, grid))
+    assert(fused == generic)
+    // brute force pins the metric itself (not just path agreement)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("d2"), col("gid"))
+    val brute = pts.toDF().select(col("id"), col("x").as("px"), col("y").as("py"))
+      .crossJoin(segs)
+      .select(col("id"), col("gid"), d2.as("d2"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .where(col("rn") <= 4)
+    assert(fused == asSet(brute))
+    assert(fused.size == 350 * 4)
+    // the Scala refinement function is the column arithmetic, bit for bit
+    val rows = segs.crossJoin(pts.toDF().limit(50)
+        .select(col("x").as("px"), col("y").as("py")))
+      .select(col("x1"), col("y1"), col("x2"), col("y2"),
+        col("px"), col("py"), d2.as("d2")).collect()
+    rows.foreach { r =>
+      val got = SpatialOps.segDistanceSq(r.getDouble(0), r.getDouble(1),
+        r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(java.lang.Double.doubleToLongBits(got) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(6)))
+    }
+  }
+
   test("knnEnvelopeJoin counts a spanning geometry once: giant rects " +
     "(covering many cells) are still found and never double-ranked") {
     val s = sc
