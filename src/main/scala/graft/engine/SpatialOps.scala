@@ -1219,6 +1219,16 @@ object SpatialOps {
     *
     * Returns (keyed points, hot-cell count). The same keying function is a
     * pure function of (x, y, hot set), so probe sides reproduce it exactly.
+    *
+    * Cost: ONE pass over the data. Each point emits its resolution ladder
+    * (≤ (maxRes-res)/deltaRes cells); map-side combine reduces that to one
+    * count per occupied (res, cell), and only counts above the threshold
+    * are collected (≤ n/hotThreshold per level — the bounded histogram). A
+    * cell splits iff its TOTAL occupancy exceeds the threshold, which is
+    * the fixed point the old round-trip loop converged to (a hot cell's
+    * parent holds at least its points, so every hot cell's ancestor chain
+    * is split and the cell is always reached) — without up to 8 full-data
+    * `groupByKey.count` passes, which at 100 TB would dominate the build.
     */
   def adaptiveCellKeys(
       points: Dataset[PointRow], grid: CellGrid, hotThreshold: Long,
@@ -1241,20 +1251,13 @@ object SpatialOps {
       enc(r, cell)
     }
 
-    var split = Set.empty[Long]
-    var rounds = 0
-    var converged = false
-    while (!converged && rounds < 8) {
-      val splitNow = split
-      val hot = points
-        .map(p => keyFn(splitNow)(p.x, p.y))
-        .groupByKey(identity).count()
-        .filter { case (k, n) => n > hotThreshold && (k >> 32) + deltaRes <= maxRes }
-        .map(_._1).collect()
-      if (hot.isEmpty) converged = true
-      else { split ++= hot; rounds += 1 }
-    }
-    val splitFinal = split
+    // refinable levels only: a cell at res > maxRes - deltaRes can't split
+    val ladder = (grid.res to (maxRes - deltaRes) by deltaRes).toArray
+    val splitFinal = points
+      .flatMap(p => ladder.iterator.map(r => enc(r, grids(r).cellId(p.x, p.y))))
+      .groupByKey(identity).count()
+      .filter { case (_, n) => n > hotThreshold }
+      .map(_._1).collect().toSet
     val keyed = points
       .map(p => (p.id, p.x, p.y, keyFn(splitFinal)(p.x, p.y)))
       .toDF("id", "x", "y", "pkey")

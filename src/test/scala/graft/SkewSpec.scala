@@ -89,8 +89,25 @@ class SkewSpec extends AnyFunSuite {
     import spark.implicits._
     val pts = skewedPoints(6000, 300)
       .map(r => PointRow(r.id, r.minX, r.minY))
-    val (keyed, nSplit) = SpatialOps.adaptiveCellKeys(pts, grid,
-      hotThreshold = 500, deltaRes = 2)
+    // the split set must come from ONE histogram pass over the data (the
+    // old loop ran up to 8 full groupByKey.count rounds — a build-cost
+    // disaster at 100 TB); one shuffled count = one Spark job
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val (keyed, nSplit) =
+      try {
+        val r = SpatialOps.adaptiveCellKeys(pts, grid,
+          hotThreshold = 500, deltaRes = 2)
+        Thread.sleep(500) // listener bus is async; job starts land quickly
+        r
+      } finally spark.sparkContext.removeSparkListener(listener)
+    assert(jobs.get() <= 2,
+      s"adaptive split ran ${jobs.get()} jobs; the histogram needs one pass")
     assert(nSplit >= 1, "fixture should force at least one split")
     val byKey = keyed.groupBy("pkey").count().collect()
       .map(r => (r.getLong(0), r.getLong(1)))
