@@ -498,6 +498,24 @@ final class LocalRTree[T](
     if (cnt > 0 && q.intersects(root.env)) walk(root)
   }
 
+  /** FIRST element containing the point — `locate_at_point`
+    * (rstar/src/rtree.rs:760-800; the README.md:38-39 benchmark op):
+    * early-exit descent. Frozen 2-D trees answer from the SoA mirror
+    * (packed 4-compare envelope rejects, no per-probe allocation); the
+    * general path falls back to the lazy selection iterator.
+    */
+  def locateAtPoint(p: Array[Double]): Option[Entry[T]] = {
+    if (p.length == 2) {
+      val m = mirror
+      if (m != null) {
+        val i = m.locateAtPoint(p(0), p(1))
+        return if (i < 0) None else Some(m.entries(i))
+      }
+    }
+    val it = locateAllAtPoint(p)
+    if (it.hasNext) Some(it.next()) else None
+  }
+
   /** Membership test (`contains`, rstar/src/rtree.rs:870-892). */
   def containsEntry(e: Entry[T]): Boolean =
     select(env => env.containsEnvelope(e.env), _ == e).hasNext
@@ -955,6 +973,38 @@ object LocalRTree {
           ((v & 0xffffffffL).toInt, k)
         }
       }
+
+    /** First entry whose envelope contains (px, py) — early-exit descent
+      * for the `locate_at_point` hot path: returns as soon as a leaf hit
+      * is found instead of exhausting every containing subtree.
+      */
+    def locateAtPoint(px: Double, py: Double): Int = {
+      if (entries.length == 0) return -1
+      def in(a: Array[Double], off: Int): Boolean =
+        px >= a(off) && px <= a(off + 2) && py >= a(off + 1) && py <= a(off + 3)
+      def walk(level: Int, idx: Int): Int = {
+        val from = childStart(level)(idx)
+        val to = childEnd(level)(idx)
+        if (level == 0) {
+          var i = from
+          while (i < to) {
+            if (in(entryEnvs, 4 * i)) return i
+            i += 1
+          }
+          -1
+        } else {
+          val a = levelEnvs(level - 1)
+          var i = from
+          var r = -1
+          while (r < 0 && i < to) {
+            if (in(a, 4 * i)) r = walk(level - 1, i)
+            i += 1
+          }
+          r
+        }
+      }
+      if (in(levelEnvs(top), 0)) walk(top, 0) else -1
+    }
 
     /** Push-based closed-box intersection over the flat levels. */
     def foreachIntersecting(qMinX: Double, qMinY: Double, qMaxX: Double,

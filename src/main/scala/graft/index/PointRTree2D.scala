@@ -74,6 +74,43 @@ final class PointRTree2D private (
     while (i < nodesAt(top)) { walk(top, i); i += 1 }
   }
 
+  /** FIRST point exactly at (px, py) — index, or -1. The reference's
+    * `locate_at_point` (rstar/src/rtree.rs, README.md:38-39 benchmark):
+    * early-exit descent, 4-compare envelope reject per node over the
+    * packed level arrays, no closure and no allocation on the path —
+    * unlike [[foreachInBox]], which must visit every match.
+    */
+  def locateAtPoint(px: Double, py: Double): Int = {
+    if (size == 0) return -1
+    def walk(level: Int, i: Int): Int = {
+      val e = levels(level)
+      val b = 4 * i
+      if (px < e(b) || px > e(b + 2) || py < e(b + 1) || py > e(b + 3)) return -1
+      if (level == 0) {
+        val from = i * leafSize
+        val to = math.min(from + leafSize, size)
+        var p = from
+        while (p < to) {
+          if (xs(p) == px && ys(p) == py) return p
+          p += 1
+        }
+        -1
+      } else {
+        val from = i * fanout
+        val to = math.min(from + fanout, nodesAt(level - 1))
+        var c = from
+        var r = -1
+        while (r < 0 && c < to) { r = walk(level - 1, c); c += 1 }
+        r
+      }
+    }
+    val top = levels.length - 1
+    var i = 0
+    var r = -1
+    while (r < 0 && i < nodesAt(top)) { r = walk(top, i); i += 1 }
+    r
+  }
+
   /** Visit every point with squared distance ≤ r2 from (px, py). */
   def foreachWithin(px: Double, py: Double, r2: Double)(f: Int => Unit): Unit = {
     if (size == 0) return

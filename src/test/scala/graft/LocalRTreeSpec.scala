@@ -391,6 +391,38 @@ class LocalRTreeSpec extends AnyFunSuite {
     assert(t2.size == 0)
   }
 
+  test("locateAtPoint (first match, rtree.rs:760-800): mirror fast path " +
+    "and generic fallback agree with locateAllAtPoint on hits and misses") {
+    val ps = points(1200, seed = 31)
+    val frozen = pointTree(ps) // bulk-loaded → frozen → mirror path
+    ps.foreach { p =>
+      val got = frozen.locateAtPoint(p)
+      assert(got.isDefined && got.get.env.containsPoint(p))
+    }
+    points(150, seed = 32).foreach { q =>
+      val want = frozen.locateAllAtPoint(q).toSeq
+      val got = frozen.locateAtPoint(q)
+      assert(got.isDefined == want.nonEmpty)
+      got.foreach(e => assert(want.contains(e)))
+    }
+    // mutated tree (insert) → no mirror → generic fallback, same contract
+    val thawed = pointTree(ps.take(600))
+    ps.slice(600, 700).foreach(p =>
+      thawed.insert(Entry(AABB.fromPoint(p), 9999)))
+    ps.take(700).foreach(p => assert(thawed.locateAtPoint(p).isDefined))
+    // rectangle layer: containment is box containment; overlapping boxes
+    // return SOME containing box (first-match semantics)
+    val boxes = rects(400, seed = 33)
+    val rt = new LocalRTree[Int]().bulkLoad(
+      boxes.zipWithIndex.map { case (b, i) => Entry(b, i) })
+    points(120, seed = 34).foreach { q =>
+      val inside = boxes.exists(_.containsPoint(q))
+      val got = rt.locateAtPoint(q)
+      assert(got.isDefined == inside)
+      got.foreach(e => assert(e.env.containsPoint(q)))
+    }
+  }
+
   test("serialization round-trip preserves query results (rtree.rs:1289-1305)") {
     val t = pointTree(points(300, seed = 14))
     val bos = new java.io.ByteArrayOutputStream()

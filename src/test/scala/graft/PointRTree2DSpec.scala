@@ -41,6 +41,29 @@ class PointRTree2DSpec extends AnyFunSuite {
     }
   }
 
+  test("locateAtPoint: every stored point is found (exact coords), misses " +
+    "return -1, duplicates return a matching index") {
+    // hits: every stored point locates to an index with its exact coords
+    P.zipWithIndex.foreach { case (p, _) =>
+      val i = T.locateAtPoint(p(0), p(1))
+      assert(i >= 0)
+      assert(T.xs(i) == p(0) && T.ys(i) == p(1))
+    }
+    // misses: perturbed coordinates are not in the set
+    Q.foreach { q =>
+      val px = q(0) + 1e-7; val py = q(1) + 1e-7
+      val want = P.exists(p => p(0) == px && p(1) == py)
+      assert((T.locateAtPoint(px, py) >= 0) == want)
+    }
+    // duplicate coordinates: any one of the duplicates is a valid answer
+    val dup = Array(Array(1.0, 2.0), Array(1.0, 2.0), Array(3.0, 4.0))
+    val td = build(dup)
+    val i = td.locateAtPoint(1.0, 2.0)
+    assert(i >= 0 && td.xs(i) == 1.0 && td.ys(i) == 2.0)
+    assert(td.locateAtPoint(9.0, 9.0) == -1)
+    assert(build(Array.empty[Array[Double]]).locateAtPoint(0.0, 0.0) == -1)
+  }
+
   test("radius query vs filtered scan") {
     Q.take(60).foreach { q =>
       val got = scala.collection.mutable.Set.empty[Long]
