@@ -432,6 +432,50 @@ object PipelineQueries {
     MediaOps.decodeImages(MediaOps.pngTable(docs(spark, dir)))
       .toDF().orderBy("media_id")
 
+  /** STREAMING exact dedup, end-to-end as a driver-oracle hard signal: the
+    * documents table is replayed through the REAL Structured Streaming
+    * path (`StreamOps.dedupStreamDocs` — file source, two micro-batches,
+    * `flatMapGroupsWithState` keeper state) and the final emitted set must
+    * equal the BATCH min-id-per-content rule the DuckDB twin computes.
+    * Micro-batch 2 injects duplicates of every third document under
+    * shifted-up ids: if the cross-batch state lookup were broken, each of
+    * those would re-emit and the driver's row/hash compare would fail —
+    * so the green row certifies the stateful stream, not just a batch
+    * rewrite of it.
+    */
+  def streamDedup(spark: SparkSession, dir: String): DataFrame = {
+    val tag = s"qsd_${System.nanoTime()}"
+    val inDir = java.nio.file.Files.createTempDirectory(tag).toString
+    val ckpt = java.nio.file.Files.createTempDirectory(s"${tag}_c").toString
+    val base = load(spark, dir, "documents").select("doc_id", "text")
+    base.write.mode("overwrite").parquet(inDir)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType, nullable = false)))
+    val q = graft.streaming.StreamOps.dedupStreamDocs(spark,
+        spark.readStream.schema(schema).parquet(inDir))
+      .writeStream.format("memory").queryName(tag)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    q.processAllAvailable() // micro-batch 1: the full base table
+    // micro-batch 2: exact duplicates under STRICTLY LARGER ids — state
+    // must swallow every one (first-seen wins; ids only grow, so the
+    // stream keeper == the batch min over base ∪ dups == min over base)
+    base.where(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + lit(10000000L)).as("doc_id"), col("text"))
+      .write.mode("append").parquet(inDir)
+    q.processAllAvailable()
+    q.stop()
+    spark.table(tag).orderBy("h", "keeper")
+  }
+
+  val streamDedupSql: String =
+    """SELECT md5(text) AS h, CAST(MIN(doc_id) AS BIGINT) AS keeper,
+      | CAST(MIN(LENGTH(text)) AS BIGINT) AS n_chars
+      |FROM documents GROUP BY md5(text) ORDER BY h, keeper""".stripMargin
+
   /** REAL audio decode, end-to-end: per-doc deterministic WAVs (16-bit LE
     * mono PCM, every sample an integer function of doc_id) are containered
     * distributed via `javax.sound.sampled`, then parsed back in the batched

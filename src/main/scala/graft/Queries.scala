@@ -641,7 +641,11 @@ object Queries {
         bit_xor(xxhash64(col("c_custkey"))),
         bit_xor(xxhash64(col("c_custkey") + lit(1L))))
       .collect()(0)
-    val root = s"/tmp/graft_pidx_v3_${new java.io.File(dir).getName}" +
+    // v4: serialVersionUIDs are now PINNED on every class in the persisted
+    // tree graph (PointRTree2D, LocalRTree, Entry, Inner, AABB), so
+    // additive method changes no longer invalidate a store — the v3 store
+    // was written with implicit UIDs and died when locateAtPoint landed.
+    val root = s"/tmp/graft_pidx_v4_${new java.io.File(dir).getName}" +
       s"_${fp.getLong(0)}_${fp.getLong(1)}_${fp.getLong(2)}" +
       f"_${fp.getLong(3)}%016x${fp.getLong(4)}%016x".replace("-", "n")
     IndexStore.build(spark, pts, grid, root)

@@ -58,7 +58,8 @@ object SparkEntry {
     "q_line_knn" -> (Queries.lineKnn(_, _)),
     "q_media_meta" -> (PipelineQueries.mediaMeta(_, _)),
     "q_media_decode" -> (PipelineQueries.mediaDecode(_, _)),
-    "q_media_audio" -> (PipelineQueries.mediaAudio(_, _))
+    "q_media_audio" -> (PipelineQueries.mediaAudio(_, _)),
+    "q_stream_dedup" -> (PipelineQueries.streamDedup(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -108,6 +109,7 @@ object SparkEntry {
     "q_line_knn" -> Queries.lineKnnSql,
     "q_media_meta" -> PipelineQueries.mediaMetaSql,
     "q_media_decode" -> PipelineQueries.mediaDecodeSql,
-    "q_media_audio" -> PipelineQueries.mediaAudioSql
+    "q_media_audio" -> PipelineQueries.mediaAudioSql,
+    "q_stream_dedup" -> PipelineQueries.streamDedupSql
   )
 }

@@ -18,6 +18,7 @@ import java.util.Arrays
   * method is `mergeInPlace`, used in tree-build hot paths on boxes that are
   * still private to the builder.
   */
+@SerialVersionUID(1L)
 final class AABB(val lower: Array[Double], val upper: Array[Double])
     extends Serializable {
 

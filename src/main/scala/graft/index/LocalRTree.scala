@@ -9,6 +9,7 @@ import graft.geom.AABB
   * memoized up front (the `CachedEnvelope` idiom,
   * rstar/src/primitives/cached_envelope.rs:16-58).
   */
+@SerialVersionUID(1L)
 final case class Entry[T](env: AABB, value: T) extends LocalRTree.Node[T]
 
 /** Per-partition, serializable R-tree. This is the intra-partition half of
@@ -32,6 +33,7 @@ final case class Entry[T](env: AABB, value: T) extends LocalRTree.Node[T]
   *
   * Not thread-safe for mutation; queries are read-only and safe to share.
   */
+@SerialVersionUID(1L)
 final class LocalRTree[T](
     val minSize: Int = 3,
     val maxSize: Int = 6,
@@ -798,6 +800,7 @@ object LocalRTree {
     */
   sealed trait Node[T] extends Serializable { def env: AABB }
 
+  @SerialVersionUID(1L)
   final class Inner[T](
       var env: AABB,
       val children: mutable.ArrayBuffer[Node[T]]) extends Node[T] {

@@ -15,6 +15,7 @@ package graft.index
   * the leaves; node j at level ℓ+1 covers nodes [j·F, min((j+1)·F, m_ℓ)).
   * Envelopes per level are packed as [minX, minY, maxX, maxY] · m.
   */
+@SerialVersionUID(1L)
 final class PointRTree2D private (
     val size: Int,
     val ids: Array[Long],     // STR order

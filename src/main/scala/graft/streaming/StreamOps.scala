@@ -125,6 +125,35 @@ object StreamOps {
       .toDF("h", "keeper_url", "text")
   }
 
+  /** [[dedupStream]] keyed by numeric document id (the documents-table
+    * shape): same state design — key = 128-bit content hash, state = the
+    * keeper id chosen when the hash was first seen, min-id rule within the
+    * first batch, later arrivals swallowed. Output (h, keeper, n_chars).
+    */
+  def dedupStreamDocs(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    docs
+      .select(col("doc_id"), col("text"),
+        md5(col("text").cast("binary")).as("h"))
+      .as[(Long, String, String)]
+      .groupByKey(_._3)
+      .flatMapGroupsWithState[Long, (String, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (h: String, rows: Iterator[(Long, String, String)],
+            state: GroupState[Long]) =>
+          if (state.exists) Iterator.empty // content already kept
+          else {
+            val keeper = rows.minBy(_._1) // deterministic: min id wins
+            state.update(keeper._1)
+            // codePointCount == SQL LENGTH (characters, not UTF-16 units)
+            Iterator((h, keeper._1,
+              keeper._2.codePointCount(0, keeper._2.length).toLong))
+          }
+      }
+      .toDF("h", "keeper", "n_chars")
+  }
+
   /** Watermarked tumbling-window per-cell entity counts — the streaming
     * form of the build histogram (C2 stage 1): late pages beyond the
     * watermark are dropped, state stays bounded.
