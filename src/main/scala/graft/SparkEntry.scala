@@ -59,6 +59,7 @@ object SparkEntry {
     "q_media_meta" -> (PipelineQueries.mediaMeta(_, _)),
     "q_media_decode" -> (PipelineQueries.mediaDecode(_, _)),
     "q_media_audio" -> (PipelineQueries.mediaAudio(_, _)),
+    "q_media_video" -> (PipelineQueries.mediaVideo(_, _)),
     "q_stream_dedup" -> (PipelineQueries.streamDedup(_, _))
   )
 
@@ -110,6 +111,7 @@ object SparkEntry {
     "q_media_meta" -> PipelineQueries.mediaMetaSql,
     "q_media_decode" -> PipelineQueries.mediaDecodeSql,
     "q_media_audio" -> PipelineQueries.mediaAudioSql,
+    "q_media_video" -> PipelineQueries.mediaVideoSql,
     "q_stream_dedup" -> PipelineQueries.streamDedupSql
   )
 }

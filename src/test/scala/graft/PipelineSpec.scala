@@ -373,4 +373,49 @@ class PipelineSpec extends AnyFunSuite {
         new String(r.payload.slice(8, 12), "US-ASCII") == "WAVE")
     }
   }
+
+  test("REAL video decode: distributed Y4M encode -> container parse " +
+    "round-trips geometry, frame count, and every sample byte") {
+    import spark.implicits._
+    def params(id: Long): (Long, Long, Long) =
+      (16 + 2 * (id % 8), 8 + 2 * (id % 6), 3 + (id % 4))
+    def expectedSum(id: Long): Long = {
+      val (w, h, fr) = params(id)
+      val nb = fr * w * h * 3 / 2
+      var s = 0L
+      for (k <- 0L until nb) s += (id + k) % 256
+      s
+    }
+    val got = MediaOps.decodeVideo(MediaOps.y4mTable(docs)).collect()
+    assert(got.length == docs.count())
+    got.foreach { m =>
+      val (w, h, fr) = params(m.media_id)
+      assert((m.width, m.height, m.n_frames, m.samp_sum) ==
+        ((w, h, fr, expectedSum(m.media_id))),
+        s"video decode mismatch for ${m.media_id}")
+    }
+    // the payloads really are Y4M containers (magic + FRAME markers)
+    val magic = MediaOps.y4mTable(docs).take(3)
+    magic.foreach { r =>
+      assert(new String(r.payload.take(9), "US-ASCII") == "YUV4MPEG2")
+      assert(new String(r.payload, "US-ASCII").contains("FRAME\n"))
+    }
+    // frame sampling reads the decoded LUMA plane, every 2nd frame
+    val frames = MediaOps.sampleVideoFrames(MediaOps.y4mTable(docs), 2)
+      .collect()
+    val byMedia = frames.groupBy(_.media_id)
+    got.foreach { m =>
+      val fs = byMedia(m.media_id)
+      assert(fs.length == (m.n_frames + 1) / 2)
+      fs.foreach { f =>
+        val (w, h, _) = params(m.media_id)
+        val frameBytes = w * h * 3 / 2
+        val k0 = f.frame_idx * frameBytes // luma plane leads each frame
+        var s = 0L
+        for (k <- k0 until (k0 + w * h)) s += (m.media_id + k) % 256
+        assert(f.luma_sum == s,
+          s"luma mismatch media ${m.media_id} frame ${f.frame_idx}")
+      }
+    }
+  }
 }
