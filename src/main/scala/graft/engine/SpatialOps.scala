@@ -705,7 +705,12 @@ object SpatialOps {
     val wAsc = Window.partitionBy("id").orderBy(col("d2"), col("gid"))
     val dUp = candA.join(celled, Seq("cell"))
       .select(col("id"), col("px"), col("py"), col("gid"), d2Expr.as("d2"))
-      .dropDuplicates("id", "gid") // a geometry may arrive via several cells
+      .withColumn("pg", lag("gid", 1).over(wAsc))
+      // copies of an (id, gid) pair carry bit-identical d2 (d2 is a pure
+      // function of the pair), so in (d2, gid) order they are ADJACENT —
+      // this dedup rides the window's own exchange+sort where
+      // dropDuplicates paid a second full shuffle
+      .where(col("pg").isNull || col("pg") =!= col("gid"))
       .withColumn("rn", row_number().over(wAsc))
       .where(col("rn") <= k)
       .groupBy("id").agg(max("d2").as("dUp"),
@@ -717,7 +722,12 @@ object SpatialOps {
         col("px") - r, col("py") - r, col("px") + r, col("py") + r)).as("cell"))
     candB.join(celled, Seq("cell"))
       .select(col("id"), col("gid"), d2Expr.as("d2"))
-      .dropDuplicates("id", "gid") // d2 is identical across a pair's copies
+      .withColumn("pg", lag("gid", 1).over(wAsc))
+      // copies of an (id, gid) pair carry bit-identical d2 (d2 is a pure
+      // function of the pair), so in (d2, gid) order they are ADJACENT —
+      // this dedup rides the window's own exchange+sort where
+      // dropDuplicates paid a second full shuffle
+      .where(col("pg").isNull || col("pg") =!= col("gid"))
       .withColumn("rn", row_number().over(wAsc).cast("long"))
       .where(col("rn") <= k)
       .select(col("id"), col("gid"), col("d2"), col("rn"))
@@ -782,9 +792,8 @@ object SpatialOps {
 
     val wAsc = Window.partitionBy("id").orderBy(col("d2"), col("gid"))
     val dUp = probeEnvRows(candA, rectRdd, k, parts, spark)
-      .join(candA.select(col("id"), col("px"), col("py")).dropDuplicates("id"),
-        Seq("id"))
-      .dropDuplicates("id", "gid")
+      .withColumn("pg", lag("gid", 1).over(wAsc))
+      .where(col("pg").isNull || col("pg") =!= col("gid")) // adjacent-dup cut (see knnEnvelopeJoin)
       .withColumn("rn", row_number().over(wAsc))
       .where(col("rn") <= k)
       .groupBy("id").agg(max("d2").as("dUp"),
@@ -796,7 +805,8 @@ object SpatialOps {
         col("px") - r, col("py") - r, col("px") + r, col("py") + r)).as("cell"))
       .select("cell", "id", "px", "py")
     probeEnvRows(candB, rectRdd, k, parts, spark)
-      .dropDuplicates("id", "gid")
+      .withColumn("pg", lag("gid", 1).over(wAsc))
+      .where(col("pg").isNull || col("pg") =!= col("gid")) // adjacent-dup cut (see knnEnvelopeJoin)
       .withColumn("rn", row_number().over(wAsc).cast("long"))
       .where(col("rn") <= k)
       .select(col("id"), col("gid"), col("d2"), col("rn"))
@@ -822,7 +832,7 @@ object SpatialOps {
     val c = cand.select("cell", "id", "px", "py")
       .repartition(parts, col("cell")).sortWithinPartitions("cell")
     val rdd = c.queryExecution.toRdd.zipPartitions(dataRdd) { (qit, dit) =>
-      new Iterator[(Long, Long, Double)] {
+      new Iterator[(Long, Long, Double, Double, Double)] {
         private var pending = false
         private var pCell = 0L
         private var pGid = 0L
@@ -839,7 +849,8 @@ object SpatialOps {
 
         private var dCell = Long.MinValue
         private var tree: LocalRTree[Long] = null
-        private val buf = scala.collection.mutable.Queue.empty[(Long, Long, Double)]
+        private val buf =
+          scala.collection.mutable.Queue.empty[(Long, Long, Double, Double, Double)]
 
         private def loadRun(cell: Long): Unit = {
           while (pending && pCell < cell) advance()
@@ -872,11 +883,11 @@ object SpatialOps {
               while (!done && it.hasNext) {
                 val (e, dd) = it.next()
                 if (got < k) {
-                  buf.enqueue((qid, e.value, dd))
+                  buf.enqueue((qid, e.value, dd, qx, qy))
                   got += 1
                   if (got == k) kth = dd
                 } else if (dd == kth) { // float-exact tie extension
-                  buf.enqueue((qid, e.value, dd))
+                  buf.enqueue((qid, e.value, dd, qx, qy))
                 } else done = true
               }
             }
@@ -884,10 +895,16 @@ object SpatialOps {
         }
 
         override def hasNext: Boolean = { fill(); buf.nonEmpty }
-        override def next(): (Long, Long, Double) = { fill(); buf.dequeue() }
+        override def next(): (Long, Long, Double, Double, Double) = {
+          fill(); buf.dequeue()
+        }
       }
     }
-    spark.createDataset(rdd).toDF("id", "gid", "d2")
+    // the probe echoes each query's (px, py) so pass A can derive its
+    // radius bound WITHOUT re-joining the candidate table (the join was a
+    // sort-merge over the full probe stream; two doubles per bounded
+    // output row are far cheaper)
+    spark.createDataset(rdd).toDF("id", "gid", "d2", "px", "py")
   }
 
   /** Scala twin of `SpatialFunctions.stLineDistanceSq` — the SAME ops in
@@ -976,9 +993,8 @@ object SpatialOps {
 
     val wAsc = Window.partitionBy("id").orderBy(col("d2"), col("gid"))
     val dUp = probeSegRows(candA, segRdd, k, parts, spark)
-      .join(candA.select(col("id"), col("px"), col("py")).dropDuplicates("id"),
-        Seq("id"))
-      .dropDuplicates("id", "gid")
+      .withColumn("pg", lag("gid", 1).over(wAsc))
+      .where(col("pg").isNull || col("pg") =!= col("gid")) // adjacent-dup cut (see knnEnvelopeJoin)
       .withColumn("rn", row_number().over(wAsc))
       .where(col("rn") <= k)
       .groupBy("id").agg(max("d2").as("dUp"),
@@ -990,7 +1006,8 @@ object SpatialOps {
         col("px") - r, col("py") - r, col("px") + r, col("py") + r)).as("cell"))
       .select("cell", "id", "px", "py")
     probeSegRows(candB, segRdd, k, parts, spark)
-      .dropDuplicates("id", "gid")
+      .withColumn("pg", lag("gid", 1).over(wAsc))
+      .where(col("pg").isNull || col("pg") =!= col("gid")) // adjacent-dup cut (see knnEnvelopeJoin)
       .withColumn("rn", row_number().over(wAsc).cast("long"))
       .where(col("rn") <= k)
       .select(col("id"), col("gid"), col("d2"), col("rn"))
@@ -1015,7 +1032,7 @@ object SpatialOps {
     val c = cand.select("cell", "id", "px", "py")
       .repartition(parts, col("cell")).sortWithinPartitions("cell")
     val rdd = c.queryExecution.toRdd.zipPartitions(dataRdd) { (qit, dit) =>
-      new Iterator[(Long, Long, Double)] {
+      new Iterator[(Long, Long, Double, Double, Double)] {
         private var pending = false
         private var pCell = 0L
         private var pGid = 0L
@@ -1037,7 +1054,8 @@ object SpatialOps {
         private var ys1: Array[Double] = null
         private var xs2: Array[Double] = null
         private var ys2: Array[Double] = null
-        private val buf = scala.collection.mutable.Queue.empty[(Long, Long, Double)]
+        private val buf =
+          scala.collection.mutable.Queue.empty[(Long, Long, Double, Double, Double)]
 
         private def loadRun(cell: Long): Unit = {
           while (pending && pCell < cell) advance()
@@ -1095,7 +1113,7 @@ object SpatialOps {
                 val kth: Double =
                   if (heap.size == k) heap.peek() else Double.MaxValue
                 evald.foreach { case (g, d) =>
-                  if (d <= kth) buf.enqueue((qid, g, d))
+                  if (d <= kth) buf.enqueue((qid, g, d, qx, qy))
                 }
               }
             }
@@ -1103,10 +1121,13 @@ object SpatialOps {
         }
 
         override def hasNext: Boolean = { fill(); buf.nonEmpty }
-        override def next(): (Long, Long, Double) = { fill(); buf.dequeue() }
+        override def next(): (Long, Long, Double, Double, Double) = {
+          fill(); buf.dequeue()
+        }
       }
     }
-    spark.createDataset(rdd).toDF("id", "gid", "d2")
+    // (px, py) echoed per output row — see probeEnvRows
+    spark.createDataset(rdd).toDF("id", "gid", "d2", "px", "py")
   }
 
   /** Distributed kNN join in d DIMENSIONS over [[graft.index.CellGridN]] —
