@@ -531,20 +531,29 @@ object PipelineOps {
         val n = emb.count()
         math.max(16, math.min(1024, math.ceil(math.sqrt(n.toDouble)).toInt))
       }
-    def dblDot(a: Column, b: Column): Column = aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y),
-      lit(0.0d), (acc, x) => acc + x)
+    // native codegen twin of the HOF fold `aggregate(zip_with(a, b,
+    // (x, y) => x.cast(double) * y), 0.0, _ + _)` — identical IEEE
+    // summation order ([[graft.functions.ArrayDotLD]])
+    def dblDot(a: Column, b: Column): Column =
+      org.apache.spark.sql.graft.ColumnShim.column(
+        graft.functions.ArrayDotLD(
+          org.apache.spark.sql.graft.ColumnShim.expression(a),
+          org.apache.spark.sql.graft.ColumnShim.expression(b)))
     // Deterministic seeds: the kC lowest-id vectors, as double centers.
     val seeds = vecs.orderBy("id").limit(kC)
       .select((row_number().over(Window.orderBy("id")) - 1).as("cluster"),
         transform(col("v"), x => x.cast("double")).as("cv"))
     // Assignment: argmax dot(v, center); ties to the lowest cluster id.
-    val wAssign = Window.partitionBy("id").orderBy(col("cdot").desc, col("cluster"))
+    // max_by over (cdot, -cluster) instead of a row_number window: the
+    // hash aggregate partial-combines MAP-SIDE, so the shuffle carries n
+    // rows instead of the n×kC cross-join output the window sorted.
     def assign(cs: DataFrame): DataFrame = vecs.crossJoin(broadcast(cs))
       .withColumn("cdot", dblDot(col("v"), col("cv")))
-      .withColumn("arn", row_number().over(wAssign))
-      .where(col("arn") === 1)
-      .select(col("cluster"), col("id"), col("v"), col("cv"))
+      .groupBy("id")
+      .agg(max_by(struct(col("cluster"), col("v"), col("cv")),
+        struct(col("cdot"), (-col("cluster")).as("nc"))).as("m"))
+      .select(col("m.cluster").as("cluster"), col("id"),
+        col("m.v").as("v"), col("m.cv").as("cv"))
     // Lloyd refinement: element-wise member means (empty clusters drop out;
     // coverage holds — every vector re-assigns to some surviving center).
     val centers = (1 to kmeansIters).foldLeft(seeds) { (cs, _) =>
@@ -556,13 +565,20 @@ object PipelineOps {
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           s => s.getField("m")).as("cv"))
     }
-    val assigned = assign(centers)
+    // Materialize the assignment ONCE: it feeds stats, the pass-A dk
+    // probe, and the pass-B candidate join, and without pinning each use
+    // re-runs the full seed→assign→refine lineage (3× the dominant cost).
+    // At 100 TB this is precisely the IVF index a real deployment WRITES
+    // (cluster-id per vector, bucketed by cluster); localCheckpoint is the
+    // single-job stand-in for that index build.
+    val assigned = assign(centers).localCheckpoint(true)
     // Cluster stats: size + conservative member radius (padded sqrt).
-    val r2 = aggregate(
-      zip_with(col("v"), col("cv"), (a, b) => {
-        val d = a.cast("double") - b; d * d
-      }),
-      lit(0.0d), (acc, x) => acc + x)
+    // native twin of `aggregate(zip_with(v, cv, (a, b) => (a - b)^2),
+    // 0.0, _ + _)` — same per-step IEEE rounding (ArrayDist2LD)
+    val r2 = org.apache.spark.sql.graft.ColumnShim.column(
+      graft.functions.ArrayDist2LD(
+        org.apache.spark.sql.graft.ColumnShim.expression(col("v")),
+        org.apache.spark.sql.graft.ColumnShim.expression(col("cv"))))
     val stats = assigned
       .withColumn("r", sqrt(r2) * lit(1.0 + 1e-9) + lit(1e-6))
       .groupBy("cluster")
