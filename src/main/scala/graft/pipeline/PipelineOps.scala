@@ -368,9 +368,14 @@ object PipelineOps {
       maxAvgTokLen: Double = 12.0,
       nearDupThreshold: Double = 0.9,
       langs: Seq[String] = Seq.empty): DataFrame = {
-    // 1. exact dedup: keep the min doc_id of every identical-text group
-    val keepers = exactDupGroups(docs).select(col("keeper").as("doc_id"))
-    val exactDeduped = docs.join(keepers, Seq("doc_id"), "left_semi")
+    // 1. exact dedup: keep the min doc_id of every identical-text group —
+    // a min-over-group window on the text hash (ONE shuffle), not a
+    // groupBy + semi-join back onto a re-scanned docs (two shuffles + a
+    // second scan). Same keeper rule as exactDupGroups.
+    val wDup = Window.partitionBy(md5(col("text").cast("binary")))
+    val exactDeduped = docs
+      .withColumn("k_", min("doc_id").over(wDup))
+      .where(col("doc_id") === col("k_")).drop("k_")
     // 2. near-dup removal: drop the larger id of each verified pair.
     // 32 perms / 8 bands of 4: P(miss) at J=0.9 is (1-0.9^4)^8 ≈ 2e-4 —
     // the 16/4 default misses ~1.4% of strong pairs, which a cleaner
@@ -379,12 +384,16 @@ object PipelineOps {
         numPerms = 32, bands = 8)
       .select(col("b").as("doc_id")).distinct()
     val nearDeduped = exactDeduped.join(losers, Seq("doc_id"), "left_anti")
-    // 3. quality gates
-    val q = textQuality(nearDeduped).where(
-      col("n_chars") >= minChars && col("n_tokens") >= minTokens &&
-        col("avg_tok_len") <= maxAvgTokLen)
-      .select("doc_id")
-    val qualified = nearDeduped.join(q, Seq("doc_id"), "left_semi")
+    // 3. quality gates: per-row COLUMN predicates (textQuality's exact
+    // arithmetic), inlined — the metrics need no aggregation, so the old
+    // compute-then-semi-join paid a join for a filter
+    val chars = length(col("text")).cast("long")
+    val spaces = (length(col("text")) -
+      length(regexp_replace(col("text"), " ", ""))).cast("long")
+    val tokens = spaces + lit(1L)
+    val qualified = nearDeduped.where(
+      chars >= minChars && tokens >= minTokens &&
+        ((chars - spaces).cast("double") / tokens) <= maxAvgTokLen)
     // 4. language allowlist (empty = keep all)
     if (langs.isEmpty) qualified
     else qualified.where(col("lang").isin(langs: _*))
