@@ -59,28 +59,35 @@ object Bench {
   /** The headline metric (BASELINE.json): spatial join (J1) of the entity
     * table vs a tile layer + 1-NN join (K1) vs a POI layer, reading the
     * materialized parquet. Returns (entities processed, join pairs, knn rows).
+    *
+    * Both layers are BOUNDED (10k tiles, 100k POIs), so both joins route
+    * through the broadcast-tree paths — one tree per layer shipped to
+    * every core, the entity stream probed per partition with ZERO shuffle
+    * (the kNN analog of Catalyst's broadcast-join routing; output pinned
+    * row-identical to the shuffle plans in SpatialOpsSpec). The grid
+    * shuffle plans remain the unbounded-layer path and are benchmarked by
+    * the operator suite (q_intersection_join, q_knn_join).
     */
   def headline(spark: SparkSession, nPages: Long, dir: String): (Long, Long, Long) = {
     import spark.implicits._
-    val grid = CellGrid.lonLat(9)
     val entities = spark.read.parquet(dir)
 
-    // J1: entities (as degenerate rects) vs tiles — DataFrame plan.
+    // J1: entities (as degenerate rects) vs the broadcast tile tree.
     val entRects = entities.select(
       col("id"), col("x").as("minX"), col("y").as("minY"),
       col("x").as("maxX"), col("y").as("maxY"))
     val tileRects = PagesGen.tiles(spark, 10000, maxW = 0.2)
       .select(col("tile_id").as("id"),
         col("minX"), col("minY"), col("maxX"), col("maxY"))
-    val pairs = SpatialOps.intersectionJoin(entRects, tileRects, grid).count()
+    val pairs = SpatialOps.intersectionJoinBroadcast(entRects, tileRects).count()
 
-    // K1: 1-NN of each entity among the POI layer.
+    // K1: 1-NN of each entity against the broadcast POI tree.
     val pois = PagesGen.pois(spark, 100000)
       .select(col("poi_id").as("id"), col("lon").as("x"), col("lat").as("y"))
       .as[PointRow]
     val queries = entities.select(col("id").as("qid"), col("x"), col("y"))
       .as[QueryRow]
-    val knn = SpatialOps.knnJoin(queries, pois, 1, grid).count()
+    val knn = SpatialOps.knnJoinBroadcast(queries, pois, 1).count()
     (0L, pairs, knn)
   }
 
@@ -131,14 +138,17 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    // 9 M pages ≈ 14 M entities: the hi leg must be LONG (~21 s; it was
-    // ~12 s at 5 M) because ~2.5 s of per-job driver-serial planning sits
-    // in every leg and Amdahl-caps the measurable 2→8 ratio at ~0.74 on
-    // short hi legs even when the parallel work scales at 0.9 (measured:
-    // 5 M-page runs read 0.73-0.85, leg-length-bound). 5 pairs keeps the
-    // whole protocol + 37-query suite inside the wall-time envelope the
-    // earlier 766 s round-1 run already cleared.
-    val nPages = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "9000000").toLong
+    // 18 M pages ≈ 27 M entities: the hi leg must be LONG because ~1-2 s
+    // of per-leg driver-serial work (layer collect + tree build +
+    // broadcast + job planning) sits in every leg and Amdahl-caps the
+    // measurable 2→8 ratio on short hi legs even when the parallel work
+    // scales at 0.9+. The round-4 broadcast headline is ~3× faster than
+    // the round-3 shuffle plan, so the page count triples to keep the
+    // legs where 9 M pages had them (lo ≈ 60 s, hi ≈ 18 s — measured at
+    // 9 M: 31/10 s read pair ratios 0.73-0.82, leg-length-bound again).
+    // 5 pairs keeps the whole protocol + suite inside the wall-time
+    // envelope the earlier 766 s round-1 run already cleared.
+    val nPages = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "18000000").toLong
 
     // Part 1: operator suite at full parallelism. Each query warms
     // IMMEDIATELY before its timed run (warm → gc → measure), not in one

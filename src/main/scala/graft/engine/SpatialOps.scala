@@ -73,6 +73,43 @@ object SpatialOps {
       .select(col("lid"), col("rid"))
   }
 
+  /** Intersection join against a BOUNDED right side: broadcast ONE
+    * `LocalRTree` of the whole layer and probe it per left row inside
+    * `mapPartitions` — zero shuffle of the (arbitrarily large) left side,
+    * the J1 sibling of [[knnJoinBroadcast]] and the plan a deployment
+    * uses whenever the layer fits an executor. Point-shaped left rows
+    * (minX==maxX, minY==maxY) take the `locateAllAtPoint` fast path; true
+    * rects use the envelope-intersecting query. Same closed-interval
+    * semantics as [[intersectionJoin]], and each qualifying pair is
+    * emitted exactly once (no grid copies, so no reference-point dedup
+    * is needed) — output row set identical.
+    */
+  def intersectionJoinBroadcast(left: DataFrame, right: DataFrame): DataFrame = {
+    val spark = left.sparkSession
+    import spark.implicits._
+    val rects = right.select("id", "minX", "minY", "maxX", "maxY")
+      .as[(Long, Double, Double, Double, Double)].collect()
+    val entries = rects.map { case (id, x0, y0, x1, y1) =>
+      Entry(AABB.of2d(x0, y0, x1, y1), id)
+    }
+    val treeB = spark.sparkContext.broadcast(
+      new LocalRTree[Long](2, 40, 1).bulkLoad(entries))
+    val l = left.select("id", "minX", "minY", "maxX", "maxY")
+    val rdd = l.queryExecution.toRdd.mapPartitions { it =>
+      val t = treeB.value
+      it.flatMap { r =>
+        val lid = r.getLong(0)
+        val x0 = r.getDouble(1); val y0 = r.getDouble(2)
+        val x1 = r.getDouble(3); val y1 = r.getDouble(4)
+        val hits =
+          if (x0 == x1 && y0 == y1) t.locateAllAtPoint(Array(x0, y0))
+          else t.queryIntersecting(AABB.of2d(x0, y0, x1, y1))
+        hits.map(e => (lid, e.value))
+      }
+    }
+    spark.createDataset(rdd).toDF("lid", "rid")
+  }
+
   /** Same join through the two-level index: both sides hash-co-partitioned
     * and sorted by cell through the DataFrame API, then joined as a zip of
     * InternalRow iterators — a synchronized merge over the sorted cell
@@ -281,6 +318,50 @@ object SpatialOps {
     * variant below until cells hold thousands of points (object churn);
     * [[knnJoinTrees]] is the dense-cell alternative.
     */
+  /** kNN join against a BOUNDED static layer: broadcast one packed
+    * [[graft.index.PointRTree2D]] of the whole layer and probe it inside
+    * `mapPartitions` over the query side's InternalRows — ZERO shuffle of
+    * the (arbitrarily large) query stream, the batch sibling of
+    * [[graft.streaming.StreamOps.nnStream]] and the plan a 100 TB
+    * deployment uses whenever the layer fits an executor (the
+    * BroadcastHashJoin of kNN; [[knnJoin]] is the shuffle path for layers
+    * that don't). Output is bit-identical to [[knnJoin]]: the tree emits
+    * through float-exact ties at the k-th distance, and the per-query cut
+    * re-sorts by (d2, id) — the window path's exact tiebreak. Distances
+    * agree bit-for-bit: squaring a clamped |dx| equals squaring the signed
+    * dx (IEEE negation is exact).
+    */
+  def knnJoinBroadcast(
+      queries: Dataset[QueryRow], data: Dataset[PointRow], k: Int): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    // bounded-layer contract: the caller asserts the layer fits in memory
+    // (the 100 TB analog broadcasts exactly this much)
+    val pts = data.collect()
+    val treeB = spark.sparkContext.broadcast(graft.index.PointRTree2D.build(
+      pts.map(_.id), pts.map(_.x), pts.map(_.y)))
+    val q = queries.toDF().select("qid", "x", "y")
+    val rdd = q.queryExecution.toRdd.mapPartitions { it =>
+      val t = treeB.value
+      it.flatMap { r =>
+        val qid = r.getLong(0)
+        val x = r.getDouble(1)
+        val y = r.getDouble(2)
+        // keepTies = true, then cut to k in (d2, id) order: membership and
+        // rank match the window path's (d2, id) ordering exactly
+        val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+        t.nearestK(x, y, k, keepTies = true) { (p, d2) =>
+          buf += ((t.ids(p), d2))
+        }
+        val cut = buf.sortInPlaceBy { case (id, d2) => (d2, id) }.take(k)
+        cut.iterator.zipWithIndex.map { case ((id, d2), i) =>
+          (qid, id, d2, i + 1)
+        }
+      }
+    }
+    spark.createDataset(rdd).toDF("qid", "id", "d2", "rn")
+  }
+
   def knnJoin(
       queries: Dataset[QueryRow], data: Dataset[PointRow], k: Int,
       grid: CellGrid, keepTies: Boolean = false): DataFrame = {
@@ -320,30 +401,50 @@ object SpatialOps {
       cells.map(c => (q.qid, q.x, q.y, c))
     }.toDF("qid", "qx", "qy", "cell")
 
+    // k == 1 (the 1-NN headline shape): both passes collapse to hash
+    // aggregations — min / min_by with the same (d2, id) tiebreak the
+    // window used — which partial-aggregate MAP-SIDE, so the shuffle
+    // carries one row per query instead of every candidate pair the
+    // window path sorts. This is also the plan that survives 100×: the
+    // candidate blow-up never crosses the wire.
     val wAsc = Window.partitionBy("qid").orderBy(col("d2"), col("id"))
-    val dUp = candA
+    val scoredA = candA
       .join(dataCelled, Seq("cell"))
       .withColumn("d2", stDistanceSq(col("x"), col("y"), col("qx"), col("qy")))
-      .withColumn("rn", row_number().over(wAsc))
-      .where(col("rn") <= k)
-      .groupBy("qid").agg(max("d2").as("dUp"),
-        first("qx").as("qx"), first("qy").as("qy"))
+    val dUp =
+      if (k == 1)
+        scoredA.groupBy("qid").agg(min("d2").as("dUp"),
+          first("qx").as("qx"), first("qy").as("qy"))
+      else
+        scoredA
+          .withColumn("rn", row_number().over(wAsc))
+          .where(col("rn") <= k)
+          .groupBy("qid").agg(max("d2").as("dUp"),
+            first("qx").as("qx"), first("qy").as("qy"))
 
-    // Pass B: cover the disc of radius sqrt(dUp); window top-k is exact.
+    // Pass B: cover the disc of radius sqrt(dUp); top-k cut is exact.
     val candB = dUp.select(col("qid"), col("qx"), col("qy"),
       explode(stCoverCells(grid)(
         col("qx") - sqrt(col("dUp")), col("qy") - sqrt(col("dUp")),
         col("qx") + sqrt(col("dUp")), col("qy") + sqrt(col("dUp"))))
         .as("cell"))
 
-    candB
+    val scoredB = candB
       .join(dataCelled, Seq("cell"))
       .withColumn("d2", stDistanceSq(col("x"), col("y"), col("qx"), col("qy")))
-      .withColumn("rn",
-        if (keepTies) rank().over(Window.partitionBy("qid").orderBy(col("d2")))
-        else row_number().over(wAsc))
-      .where(col("rn") <= k)
-      .select(col("qid"), col("id"), col("d2"), col("rn"))
+    if (k == 1 && !keepTies)
+      scoredB.groupBy("qid")
+        .agg(min_by(struct(col("id"), col("d2")),
+          struct(col("d2"), col("id"))).as("m"))
+        .select(col("qid"), col("m.id").as("id"), col("m.d2").as("d2"),
+          lit(1).as("rn")) // IntegerType, as row_number emits
+    else
+      scoredB
+        .withColumn("rn",
+          if (keepTies) rank().over(Window.partitionBy("qid").orderBy(col("d2")))
+          else row_number().over(wAsc))
+        .where(col("rn") <= k)
+        .select(col("qid"), col("id"), col("d2"), col("rn"))
   }
 
   /** Co-partitioned InternalRow probe — the "columnar exec" for per-cell

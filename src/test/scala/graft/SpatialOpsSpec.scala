@@ -134,6 +134,72 @@ class SpatialOpsSpec extends AnyFunSuite {
       .select("id").collect().map(_.getLong(0)).toSet == Set(0L, 1L, 2L, 3L))
   }
 
+  test("knnJoin k=1 (hash-agg fast path) == brute-force 1-NN, d2 bit-exact") {
+    val s = sc
+    import s.implicits._
+    val data = points(2000, 4000)
+    val queries = s.range(80).map(i =>
+      QueryRow(i, uniform(i + 7, 1) * 360.0 - 180.0,
+        uniform(i + 7, 2) * 170.0 - 85.0))
+    val got = SpatialOps.knnJoin(queries, data, 1, grid)
+      .select("qid", "id", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val brute = queries.toDF()
+      .select(col("qid"), col("x").as("qx"), col("y").as("qy"))
+      .crossJoin(data.toDF())
+      .withColumn("d2", (col("x") - col("qx")) * (col("x") - col("qx")) +
+        (col("y") - col("qy")) * (col("y") - col("qy")))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy(col("d2"), col("id"))))
+      .where(col("rn") === 1)
+      .select("qid", "id", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == brute)
+    assert(got.size == 80)
+  }
+
+  test("knnJoinBroadcast (zero-shuffle bounded-layer probe) == knnJoin " +
+    "row for row, k=1 and k=5") {
+    val s = sc
+    import s.implicits._
+    val data = points(2000, 4000)
+    val queries = s.range(60).map(i =>
+      QueryRow(i, uniform(i + 99, 1) * 360.0 - 180.0,
+        uniform(i + 99, 2) * 170.0 - 85.0))
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "id", "d2", "rn").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .toSet
+    for (k <- Seq(1, 5))
+      assert(key(SpatialOps.knnJoinBroadcast(queries, data, k)) ==
+        key(SpatialOps.knnJoin(queries, data, k, grid)), s"k=$k")
+    // exact-tie membership: four co-equal points, the (d2, id) cut keeps
+    // the lowest ids — identical to the window path's tiebreak
+    val tied = Seq(PointRow(10, 1, 0), PointRow(4, -1, 0), PointRow(7, 0, 1),
+      PointRow(2, 0, -1), PointRow(9, 3, 3)).toDS()
+    val q1 = Seq(QueryRow(0, 0, 0)).toDS()
+    assert(key(SpatialOps.knnJoinBroadcast(q1, tied, 2)) ==
+      key(SpatialOps.knnJoin(q1, tied, 2, grid)))
+  }
+
+  test("intersectionJoinBroadcast (zero-shuffle bounded-layer probe) == " +
+    "intersectionJoin, rect-left and point-left") {
+    val s = sc
+    import s.implicits._
+    val l = rects(400, 1000).toDF()
+    val r = rects(300, 2000).toDF()
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(key(SpatialOps.intersectionJoinBroadcast(l, r)) ==
+      key(SpatialOps.intersectionJoin(l, r, grid)))
+    val p = points(500, 3000)
+      .select(col("id"), col("x").as("minX"), col("y").as("minY"),
+        col("x").as("maxX"), col("y").as("maxY"))
+    assert(key(SpatialOps.intersectionJoinBroadcast(p, r)) ==
+      key(SpatialOps.intersectionJoin(p, r, grid)))
+  }
+
   test("dense-cell kNN: the fused InternalRow tree probe beats the window " +
     "path, with no object cogroup in the plan") {
     val s = sc
