@@ -454,6 +454,13 @@ object PipelineQueries {
         org.apache.spark.sql.types.LongType, nullable = false),
       org.apache.spark.sql.types.StructField("text",
         org.apache.spark.sql.types.StringType, nullable = false)))
+    // Scope the stream to 8 state partitions: the partition count is baked
+    // into the state store from the first micro-batch's conf (then pinned
+    // by the checkpoint), and every micro-batch commits one delta file PER
+    // partition — 32 quadruples the checkpoint IO for a 5k-doc keeper
+    // state. Restored after stop(), past the last planned batch.
+    val savedParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     val q = graft.streaming.StreamOps.dedupStreamDocs(spark,
         spark.readStream.schema(schema).parquet(inDir))
       .writeStream.format("memory").queryName(tag)
@@ -468,6 +475,7 @@ object PipelineQueries {
       .write.mode("append").parquet(inDir)
     q.processAllAvailable()
     q.stop()
+    spark.conf.set("spark.sql.shuffle.partitions", savedParts)
     // materialize the (small, bounded: one row per distinct content) sink
     // table, then drop the temp view and temp dirs — Bench re-invokes this
     // query several times per run and must not accumulate state

