@@ -493,6 +493,65 @@ object PipelineQueries {
     result
   }
 
+  /** STREAMING stream-static spatial join, end-to-end as a second
+    * streaming hard signal: the customer point layer is replayed through a
+    * REAL file stream in two micro-batches and box-joined (stateless cell
+    * equi-join + closed-interval containment,
+    * [[graft.streaming.StreamOps.boxJoinStream]]) against the static
+    * supplier rect layer; the emitted pair set must equal the batch
+    * point-in-box join the DuckDB twin computes. Batch 2 streams the
+    * second half of the points, so a green row certifies the join across
+    * micro-batch boundaries, not a single-batch rewrite.
+    */
+  def streamTileJoin(spark: SparkSession, dir: String): DataFrame = {
+    val tag = s"qstj_${System.nanoTime()}"
+    val inDir = java.nio.file.Files.createTempDirectory(tag).toString
+    val ckpt = java.nio.file.Files.createTempDirectory(s"${tag}_c").toString
+    val pts = TpchGeo.points(load(spark, dir, "customer"), "c_custkey")
+    val rects = TpchGeo.rects(load(spark, dir, "supplier"), "s_suppkey")
+      .select(col("id").as("gid"),
+        col("min_x").as("minX"), col("min_y").as("minY"),
+        col("max_x").as("maxX"), col("max_y").as("maxY"))
+    pts.where(col("id") % 2 === 0).write.mode("overwrite").parquet(inDir)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("x",
+        org.apache.spark.sql.types.DoubleType, nullable = false),
+      org.apache.spark.sql.types.StructField("y",
+        org.apache.spark.sql.types.DoubleType, nullable = false)))
+    val q = graft.streaming.StreamOps.boxJoinStream(
+        spark.readStream.schema(schema).parquet(inDir),
+        rects, graft.index.CellGrid.lonLat(6))
+      .writeStream.format("memory").queryName(tag)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    q.processAllAvailable() // micro-batch 1: even-keyed points
+    pts.where(col("id") % 2 =!= 0).write.mode("append").parquet(inDir)
+    q.processAllAvailable() // micro-batch 2: the rest
+    q.stop()
+    val out = spark.table(tag).orderBy("id", "gid")
+    val rows = out.collect().toSeq
+    val result = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), out.schema)
+    spark.catalog.dropTempView(tag)
+    def rmrf(p: String): Unit = {
+      val f = new java.io.File(p)
+      if (f.isDirectory) f.listFiles().foreach(c => rmrf(c.getPath))
+      f.delete()
+    }
+    rmrf(inDir); rmrf(ckpt)
+    result
+  }
+
+  val streamTileJoinSql: String =
+    s"""WITH p AS (${TpchGeo.pointsSql("customer", "c_custkey")}),
+       |r AS (${TpchGeo.rectsSql("supplier", "s_suppkey")})
+       |SELECT p.id AS id, r.id AS gid FROM p JOIN r
+       |ON p.x >= r.min_x AND p.x <= r.max_x
+       |AND p.y >= r.min_y AND p.y <= r.max_y
+       |ORDER BY id, gid""".stripMargin
+
   val streamDedupSql: String =
     """SELECT md5(text) AS h, CAST(MIN(doc_id) AS BIGINT) AS keeper,
       | CAST(MIN(LENGTH(text)) AS BIGINT) AS n_chars

@@ -60,7 +60,8 @@ object SparkEntry {
     "q_media_decode" -> (PipelineQueries.mediaDecode(_, _)),
     "q_media_audio" -> (PipelineQueries.mediaAudio(_, _)),
     "q_media_video" -> (PipelineQueries.mediaVideo(_, _)),
-    "q_stream_dedup" -> (PipelineQueries.streamDedup(_, _))
+    "q_stream_dedup" -> (PipelineQueries.streamDedup(_, _)),
+    "q_stream_tile" -> (PipelineQueries.streamTileJoin(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -112,6 +113,7 @@ object SparkEntry {
     "q_media_decode" -> PipelineQueries.mediaDecodeSql,
     "q_media_audio" -> PipelineQueries.mediaAudioSql,
     "q_media_video" -> PipelineQueries.mediaVideoSql,
-    "q_stream_dedup" -> PipelineQueries.streamDedupSql
+    "q_stream_dedup" -> PipelineQueries.streamDedupSql,
+    "q_stream_tile" -> PipelineQueries.streamTileJoinSql
   )
 }

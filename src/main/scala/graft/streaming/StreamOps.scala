@@ -59,6 +59,28 @@ object StreamOps {
       .select(col("url"), col("warc_ts"), col("x"), col("y"), col("tile_id"))
   }
 
+  /** Generic-layer sibling of [[tileJoinStream]]: a streaming point table
+    * (id, x, y) joined against a static rect layer (gid, minX, minY, maxX,
+    * maxY) — stateless stream-static cell equi-join + closed-interval
+    * containment, append-mode, no watermark needed. Each qualifying
+    * (point, rect) pair is emitted exactly once: the point carries ONE
+    * cell, so the rect's multi-cell explode never duplicates a pair.
+    */
+  def boxJoinStream(points: DataFrame, rects: DataFrame,
+      grid: CellGrid): DataFrame = {
+    import graft.functions.SpatialFunctions.{stContainsPoint, stCoverCells}
+    val rectCelled = rects.select(
+      col("gid"), col("minX"), col("minY"), col("maxX"), col("maxY"),
+      explode(stCoverCells(grid)(
+        col("minX"), col("minY"), col("maxX"), col("maxY"))).as("cell"))
+    points.withColumn("cell", stCell(grid)(col("x"), col("y")))
+      .join(rectCelled, Seq("cell"))
+      .where(stContainsPoint(
+        col("minX"), col("minY"), col("maxX"), col("maxY"),
+        col("x"), col("y")))
+      .select(col("id"), col("gid"))
+  }
+
   /** Streaming K1 against a bounded static layer: exact 1-NN of every
     * streamed entity, probing a broadcast packed tree ([[graft.index.PointRTree2D]])
     * inside a deterministic typed map — the streaming analog of the
