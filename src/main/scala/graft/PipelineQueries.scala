@@ -461,36 +461,47 @@ object PipelineQueries {
     // state. Restored after stop(), past the last planned batch.
     val savedParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
-    val q = graft.streaming.StreamOps.dedupStreamDocs(spark,
-        spark.readStream.schema(schema).parquet(inDir))
-      .writeStream.format("memory").queryName(tag)
-      .option("checkpointLocation", ckpt)
-      .outputMode("append").start()
-    q.processAllAvailable() // micro-batch 1: the full base table
-    // micro-batch 2: exact duplicates under STRICTLY LARGER ids — state
-    // must swallow every one (first-seen wins; ids only grow, so the
-    // stream keeper == the batch min over base ∪ dups == min over base)
-    base.where(col("doc_id") % 3 === 0)
-      .select((col("doc_id") + lit(10000000L)).as("doc_id"), col("text"))
-      .write.mode("append").parquet(inDir)
-    q.processAllAvailable()
-    q.stop()
-    spark.conf.set("spark.sql.shuffle.partitions", savedParts)
-    // materialize the (small, bounded: one row per distinct content) sink
-    // table, then drop the temp view and temp dirs — Bench re-invokes this
-    // query several times per run and must not accumulate state
-    val out = spark.table(tag).orderBy("h", "keeper")
-    val rows = out.collect().toSeq
-    val result = spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, 1), out.schema)
-    spark.catalog.dropTempView(tag)
-    def rmrf(p: String): Unit = {
-      val f = new java.io.File(p)
-      if (f.isDirectory) f.listFiles().foreach(c => rmrf(c.getPath))
-      f.delete()
+    // all teardown in finally: a throw mid-stream must not leave the whole
+    // suite running on 8 shuffle partitions, nor leak the stream query,
+    // the memory-sink temp view, or the temp dirs
+    var q: org.apache.spark.sql.streaming.StreamingQuery = null
+    try {
+      q = graft.streaming.StreamOps.dedupStreamDocs(spark,
+          spark.readStream.schema(schema).parquet(inDir))
+        .writeStream.format("memory").queryName(tag)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      q.processAllAvailable() // micro-batch 1: the full base table
+      // micro-batch 2: exact duplicates under STRICTLY LARGER ids — state
+      // must swallow every one (first-seen wins; ids only grow, so the
+      // stream keeper == the batch min over base ∪ dups == min over base)
+      base.where(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + lit(10000000L)).as("doc_id"), col("text"))
+        .write.mode("append").parquet(inDir)
+      q.processAllAvailable()
+      q.stop()
+      // materialize the (small, bounded: one row per distinct content) sink
+      // table — Bench re-invokes this query several times per run and must
+      // not accumulate state
+      val out = spark.table(tag).orderBy("h", "keeper")
+      val rows = out.collect().toSeq
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), out.schema)
+    } finally {
+      if (q != null && q.isActive) q.stop()
+      spark.conf.set("spark.sql.shuffle.partitions", savedParts)
+      if (spark.catalog.tableExists(tag)) spark.catalog.dropTempView(tag)
+      rmrfTemp(inDir); rmrfTemp(ckpt)
     }
-    rmrf(inDir); rmrf(ckpt)
-    result
+  }
+
+  /** Bounded recursive delete for the stream harness temp dirs (both roots
+    * are `Files.createTempDirectory` children, never user paths).
+    */
+  private def rmrfTemp(p: String): Unit = {
+    val f = new java.io.File(p)
+    if (f.isDirectory) f.listFiles().foreach(c => rmrfTemp(c.getPath))
+    f.delete()
   }
 
   /** STREAMING stream-static spatial join, end-to-end as a second
@@ -520,28 +531,27 @@ object PipelineQueries {
         org.apache.spark.sql.types.DoubleType, nullable = false),
       org.apache.spark.sql.types.StructField("y",
         org.apache.spark.sql.types.DoubleType, nullable = false)))
-    val q = graft.streaming.StreamOps.boxJoinStream(
-        spark.readStream.schema(schema).parquet(inDir),
-        rects, graft.index.CellGrid.lonLat(6))
-      .writeStream.format("memory").queryName(tag)
-      .option("checkpointLocation", ckpt)
-      .outputMode("append").start()
-    q.processAllAvailable() // micro-batch 1: even-keyed points
-    pts.where(col("id") % 2 =!= 0).write.mode("append").parquet(inDir)
-    q.processAllAvailable() // micro-batch 2: the rest
-    q.stop()
-    val out = spark.table(tag).orderBy("id", "gid")
-    val rows = out.collect().toSeq
-    val result = spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, 1), out.schema)
-    spark.catalog.dropTempView(tag)
-    def rmrf(p: String): Unit = {
-      val f = new java.io.File(p)
-      if (f.isDirectory) f.listFiles().foreach(c => rmrf(c.getPath))
-      f.delete()
+    var q: org.apache.spark.sql.streaming.StreamingQuery = null
+    try {
+      q = graft.streaming.StreamOps.boxJoinStream(
+          spark.readStream.schema(schema).parquet(inDir),
+          rects, graft.index.CellGrid.lonLat(6))
+        .writeStream.format("memory").queryName(tag)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      q.processAllAvailable() // micro-batch 1: even-keyed points
+      pts.where(col("id") % 2 =!= 0).write.mode("append").parquet(inDir)
+      q.processAllAvailable() // micro-batch 2: the rest
+      q.stop()
+      val out = spark.table(tag).orderBy("id", "gid")
+      val rows = out.collect().toSeq
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), out.schema)
+    } finally {
+      if (q != null && q.isActive) q.stop()
+      if (spark.catalog.tableExists(tag)) spark.catalog.dropTempView(tag)
+      rmrfTemp(inDir); rmrfTemp(ckpt)
     }
-    rmrf(inDir); rmrf(ckpt)
-    result
   }
 
   val streamTileJoinSql: String =
@@ -551,6 +561,98 @@ object PipelineQueries {
        |ON p.x >= r.min_x AND p.x <= r.max_x
        |AND p.y >= r.min_y AND p.y <= r.max_y
        |ORDER BY id, gid""".stripMargin
+
+  /** STREAMING watermarked windowed aggregation, end-to-end as the third
+    * streaming hard signal — this one certifies EVENT-TIME semantics (the
+    * other two pin state and stream-static joins): the events table is
+    * replayed as per-cell entities in two micro-batches through
+    * [[graft.streaming.StreamOps.cellCounts]] (1-hour tumbling windows,
+    * 2-hour watermark, append mode). Micro-batch 1 carries 3/4 of the
+    * events and establishes the watermark; micro-batch 2 replays the
+    * remaining quarter, almost all of it now LATE beyond the watermark —
+    * the engine must drop those rows, then finalize and emit every window
+    * whose end the watermark passed. The DuckDB twin applies the same
+    * drop-and-finalize predicates arithmetically, so a green row certifies
+    * both the late-row drop AND the append-mode finalization boundary; if
+    * late rows leaked into the aggregates, nearly every emitted window's
+    * count would differ.
+    */
+  def streamWindow(spark: SparkSession, dir: String): DataFrame = {
+    import TpchGeo.{px, py}
+    val tag = s"qsw_${System.nanoTime()}"
+    val inDir = java.nio.file.Files.createTempDirectory(tag).toString
+    val ckpt = java.nio.file.Files.createTempDirectory(s"${tag}_c").toString
+    val ents = load(spark, dir, "events").select(
+      col("event_id"), col("ts").as("warc_ts"),
+      px(col("event_id")).as("x"), py(col("event_id")).as("y"))
+    ents.where(col("event_id") % 4 =!= 0).drop("event_id")
+      .write.mode("overwrite").parquet(inDir)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("warc_ts",
+        org.apache.spark.sql.types.TimestampType, nullable = false),
+      org.apache.spark.sql.types.StructField("x",
+        org.apache.spark.sql.types.DoubleType, nullable = false),
+      org.apache.spark.sql.types.StructField("y",
+        org.apache.spark.sql.types.DoubleType, nullable = false)))
+    val savedParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    var q: org.apache.spark.sql.streaming.StreamingQuery = null
+    try {
+      val stream = spark.readStream.schema(schema).parquet(inDir)
+        .withColumn("cell",
+          graft.functions.SpatialFunctions.stCell(Queries.grid)(
+            col("x"), col("y")))
+      q = graft.streaming.StreamOps.cellCounts(stream, "1 hour", "2 hours")
+        .writeStream.format("memory").queryName(tag)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      q.processAllAvailable() // micro-batch 1: sets watermark = max_ts - 2h
+      // micro-batch 2: the held-back quarter — rows in windows the
+      // watermark already closed must be dropped, and batch 2's commit
+      // finalizes + emits every window with end <= watermark
+      ents.where(col("event_id") % 4 === 0).drop("event_id")
+        .write.mode("append").parquet(inDir)
+      q.processAllAvailable()
+      q.stop()
+      val out = spark.table(tag).orderBy("win_start", "cell")
+      val rows = out.collect().toSeq
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), out.schema)
+    } finally {
+      if (q != null && q.isActive) q.stop()
+      spark.conf.set("spark.sql.shuffle.partitions", savedParts)
+      if (spark.catalog.tableExists(tag)) spark.catalog.dropTempView(tag)
+      rmrfTemp(inDir); rmrfTemp(ckpt)
+    }
+  }
+
+  /** The twin's two predicates mirror the engine exactly: (1) a batch-2
+    * row survives iff its window end is strictly beyond the batch-1
+    * watermark (max batch-1 ts - 2h) — Spark keeps a late row while its
+    * window's state is still alive; (2) a window is emitted iff its end is
+    * at or before the FINAL watermark (global max ts - 2h; late rows still
+    * advance event-time stats, they are filtered later).
+    */
+  val streamWindowSql: String = {
+    import TpchGeo.{pxSql, pySql}
+    s"""WITH e AS (SELECT event_id, ts, ${pxSql("event_id")} AS x,
+       |  ${pySql("event_id")} AS y FROM events),
+       |m1 AS (SELECT MAX(ts) AS t FROM e WHERE event_id % 4 <> 0),
+       |wm AS (SELECT MAX(ts) - INTERVAL 2 HOUR AS w FROM e),
+       |kept AS (
+       |  SELECT * FROM e WHERE event_id % 4 <> 0
+       |  UNION ALL
+       |  SELECT e.* FROM e, m1 WHERE event_id % 4 = 0
+       |    AND date_trunc('hour', ts) + INTERVAL 1 HOUR > m1.t - INTERVAL 2 HOUR),
+       |c AS (SELECT date_trunc('hour', ts) AS win_start,
+       |  ${Queries.cellSql("x", "y")} AS cell, x, y FROM kept),
+       |g AS (SELECT win_start, cell, COUNT(*) AS cnt,
+       |  MIN(x) AS min_x, MIN(y) AS min_y, MAX(x) AS max_x, MAX(y) AS max_y
+       |  FROM c GROUP BY win_start, cell)
+       |SELECT g.win_start, g.cell, g.cnt, g.min_x, g.min_y, g.max_x, g.max_y
+       |FROM g, wm WHERE g.win_start + INTERVAL 1 HOUR <= wm.w
+       |ORDER BY win_start, cell""".stripMargin
+  }
 
   val streamDedupSql: String =
     """SELECT md5(text) AS h, CAST(MIN(doc_id) AS BIGINT) AS keeper,
@@ -597,6 +699,39 @@ object PipelineQueries {
       | CAST(h AS BIGINT) AS height, CAST(fr AS BIGINT) AS n_frames,
       | CAST(SUM((doc_id + k) % 256) AS BIGINT) AS samp_sum
       |FROM s GROUP BY doc_id, w, h, fr ORDER BY media_id""".stripMargin
+
+  /** REAL multi-format image decode — PNG, BMP, GIF, JPEG through the same
+    * zero-jar `javax.imageio` seam ([[MediaOps.decodeImageFormats]]): the
+    * lossless formats (png/bmp RGB, gif indexed-grayscale) are pinned by
+    * the arithmetic full-raster checksum; JPEG (lossy by design) is pinned
+    * on decoded dimensions here — the checksum column carries the -1
+    * sentinel both sides — and its decoded raster is spec-asserted near
+    * the source (MediaSpec).
+    */
+  def mediaFormats(spark: SparkSession, dir: String): DataFrame =
+    MediaOps.decodeImageFormats(MediaOps.imageFormatsTable(docs(spark, dir)))
+      .toDF()
+      .withColumn("pix_sum",
+        when(col("fmt") === "jpg", lit(-1L)).otherwise(col("pix_sum")))
+      .orderBy("media_id")
+
+  val mediaFormatsSql: String =
+    """WITH ids AS (SELECT doc_id, 8 + doc_id % 16 AS w, 8 + doc_id % 12 AS h,
+      |  CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp'
+      |    WHEN 2 THEN 'gif' ELSE 'jpg' END AS fmt
+      |  FROM documents),
+      |xs AS (SELECT doc_id, fmt, w, h, unnest(range(0, w)) AS x FROM ids),
+      |px AS (SELECT doc_id, fmt, w, h, x, unnest(range(0, h)) AS y FROM xs),
+      |sums AS (SELECT doc_id, fmt, w, h,
+      |  SUM((x*7 + y*13 + doc_id) % 256 + (x*3 + y*5 + 2*doc_id) % 256
+      |      + (x*11 + y*2 + 3*doc_id) % 256) AS rgb_sum,
+      |  SUM(3 * ((x*7 + y*13 + doc_id) % 256)) AS gray_sum
+      |  FROM px GROUP BY doc_id, fmt, w, h)
+      |SELECT doc_id AS media_id, fmt, CAST(w AS BIGINT) AS width,
+      | CAST(h AS BIGINT) AS height,
+      | CAST(CASE fmt WHEN 'jpg' THEN -1 WHEN 'gif' THEN gray_sum
+      |   ELSE rgb_sum END AS BIGINT) AS pix_sum
+      |FROM sums ORDER BY media_id""".stripMargin
 
   val mediaDecodeSql: String =
     """WITH ids AS (SELECT doc_id, 8 + doc_id % 16 AS w, 8 + doc_id % 12 AS h

@@ -625,16 +625,16 @@ object Queries {
     * the stored cells to the query box and probes the deserialized trees
     * without any rebuild.
     */
-  def persistedRange(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val pts = points(load(spark, dir, "customer"), "c_custkey").as[PointRow]
-    // root is keyed by a content fingerprint: row count + key extremes
-    // (parquet footer stats) PLUS an order-free content hash of the key
-    // set (two independent xor-folded key hashes — a cheap agg; xor is
-    // commutative so partitioning order is irrelevant, and sum would
-    // ANSI-overflow on 64-bit hash values), so a regenerated table with
-    // the same count and extremes but a different key set (gaps moved)
-    // can never silently serve a stale committed index
+  /** Store root for the persisted customer-point index, keyed by a content
+    * fingerprint: row count + key extremes (parquet footer stats) PLUS an
+    * order-free content hash of the key set (two independent xor-folded
+    * key hashes — a cheap agg; xor is commutative so partitioning order is
+    * irrelevant, and sum would ANSI-overflow on 64-bit hash values), so a
+    * regenerated table with the same count and extremes but a different
+    * key set (gaps moved) can never silently serve a stale committed
+    * index.
+    */
+  private def persistedRoot(spark: SparkSession, dir: String): String = {
     val fp = load(spark, dir, "customer")
       .agg(count(lit(1)),
         min(col("c_custkey")).cast("long"), max(col("c_custkey")).cast("long"),
@@ -645,9 +645,15 @@ object Queries {
     // tree graph (PointRTree2D, LocalRTree, Entry, Inner, AABB), so
     // additive method changes no longer invalidate a store — the v3 store
     // was written with implicit UIDs and died when locateAtPoint landed.
-    val root = s"/tmp/graft_pidx_v4_${new java.io.File(dir).getName}" +
+    s"/tmp/graft_pidx_v4_${new java.io.File(dir).getName}" +
       s"_${fp.getLong(0)}_${fp.getLong(1)}_${fp.getLong(2)}" +
       f"_${fp.getLong(3)}%016x${fp.getLong(4)}%016x".replace("-", "n")
+  }
+
+  def persistedRange(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pts = points(load(spark, dir, "customer"), "c_custkey").as[PointRow]
+    val root = persistedRoot(spark, dir)
     IndexStore.build(spark, pts, grid, root)
     IndexStore.rangeQuery(spark, root, grid, QB._1, QB._2, QB._3, QB._4)
       .orderBy("id")
@@ -656,6 +662,55 @@ object Queries {
   val persistedRangeSql: String =
     s"""WITH p AS (${pointsSql("customer", "c_custkey")})
        |SELECT id, x, y FROM p
+       |WHERE x >= ${QB._1} AND x <= ${QB._3}
+       |  AND y >= ${QB._2} AND y <= ${QB._4}
+       |ORDER BY id""".stripMargin
+
+  /** kNN join answered from the PERSISTED index (the 100 TB cold-start
+    * serving path): the same stored `(cell, n, tree BINARY)` table as
+    * [[persistedRange]], probed best-first per ring-cover cell WITHOUT any
+    * rebuild (IndexStore.knnQuery; reference analog serde-then-query,
+    * rstar/src/rtree.rs:1289-1305). Bit-equal to q_knn_join on the same
+    * inputs, so it shares that oracle.
+    */
+  def persistedKnn(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = persistedRoot(spark, dir)
+    val pts = points(load(spark, dir, "customer"), "c_custkey").as[PointRow]
+    IndexStore.build(spark, pts, grid, root) // no-op when already committed
+    IndexStore.knnQuery(spark, root, grid, nationQueries(spark, dir), K)
+      .withColumn("rn", col("rn").cast("long"))
+      .orderBy("qid", "rn")
+  }
+
+  // --------------------------------------------------- C4: insert (R*)
+
+  /** C4 as a driver hard signal: the customer layer is bulk-loaded, a
+    * deterministic supplier-derived batch is INSERTED through the real R*
+    * path (per-cell union + touched-cell rebuild via `LocalRTree.insert` —
+    * choose-subtree, forced reinsertion; SpatialOps.insertAppendRange),
+    * and a range query over the merged index must equal the same SQL over
+    * the union (the reference's bulk-then-insert regression,
+    * rstar/src/rtree.rs:1307-1371). Batch ids are shifted by 10^7 so the
+    * two layers never collide.
+    */
+  def insertAppend(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = points(load(spark, dir, "customer"), "c_custkey").as[PointRow]
+    val batch = points(load(spark, dir, "supplier"), "s_suppkey")
+      .select((col("id") + lit(10000000L)).as("id"), col("x"), col("y"))
+      .as[PointRow]
+    SpatialOps.insertAppendRange(base, batch, grid,
+      AABB.of2d(QB._1, QB._2, QB._3, QB._4))
+      .orderBy("id")
+  }
+
+  val insertAppendSql: String =
+    s"""WITH b AS (${pointsSql("customer", "c_custkey")}),
+       |a AS (SELECT id + 10000000 AS id, x, y
+       |      FROM (${pointsSql("supplier", "s_suppkey")})),
+       |u AS (SELECT * FROM b UNION ALL SELECT * FROM a)
+       |SELECT id, x, y FROM u
        |WHERE x >= ${QB._1} AND x <= ${QB._3}
        |  AND y >= ${QB._2} AND y <= ${QB._4}
        |ORDER BY id""".stripMargin

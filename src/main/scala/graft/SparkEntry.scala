@@ -34,6 +34,8 @@ object SparkEntry {
     "q_line_nearest" -> (Queries.lineNearest(_, _)),
     "q_line_grid_nn" -> (Queries.lineGridNN(_, _)),
     "q_persisted_range" -> (Queries.persistedRange(_, _)),
+    "q_persisted_knn" -> (Queries.persistedKnn(_, _)),
+    "q_insert_append" -> (Queries.insertAppend(_, _)),
     // training-data pipeline operators
     "q_dedup_exact" -> (PipelineQueries.dedupExact(_, _)),
     "q_embed_dup" -> (PipelineQueries.embedDup(_, _)),
@@ -60,8 +62,10 @@ object SparkEntry {
     "q_media_decode" -> (PipelineQueries.mediaDecode(_, _)),
     "q_media_audio" -> (PipelineQueries.mediaAudio(_, _)),
     "q_media_video" -> (PipelineQueries.mediaVideo(_, _)),
+    "q_media_formats" -> (PipelineQueries.mediaFormats(_, _)),
     "q_stream_dedup" -> (PipelineQueries.streamDedup(_, _)),
-    "q_stream_tile" -> (PipelineQueries.streamTileJoin(_, _))
+    "q_stream_tile" -> (PipelineQueries.streamTileJoin(_, _)),
+    "q_stream_window" -> (PipelineQueries.streamWindow(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -86,6 +90,8 @@ object SparkEntry {
     "q_line_nearest" -> Queries.lineNearestSql,
     "q_line_grid_nn" -> Queries.lineGridNNSql,
     "q_persisted_range" -> Queries.persistedRangeSql,
+    "q_persisted_knn" -> Queries.knnJoinSql, // bit-equal to the in-memory kNN
+    "q_insert_append" -> Queries.insertAppendSql,
     // pipeline oracles — every query carries one: the hash-based scale
     // paths run on OracleHash arithmetic with generated SQL twins
     "q_dedup_exact" -> PipelineQueries.dedupExactSql,
@@ -113,7 +119,9 @@ object SparkEntry {
     "q_media_decode" -> PipelineQueries.mediaDecodeSql,
     "q_media_audio" -> PipelineQueries.mediaAudioSql,
     "q_media_video" -> PipelineQueries.mediaVideoSql,
+    "q_media_formats" -> PipelineQueries.mediaFormatsSql,
     "q_stream_dedup" -> PipelineQueries.streamDedupSql,
-    "q_stream_tile" -> PipelineQueries.streamTileJoinSql
+    "q_stream_tile" -> PipelineQueries.streamTileJoinSql,
+    "q_stream_window" -> PipelineQueries.streamWindowSql
   )
 }

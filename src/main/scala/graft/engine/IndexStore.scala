@@ -99,6 +99,96 @@ object IndexStore {
       .toDF("id", "x", "y")
   }
 
+  /** K1/J2 over the persisted index — the 100 TB cold-start serving path:
+    * answer a kNN join by DESERIALIZING the stored per-cell trees and
+    * probing them, never rebuilding (reference analog: serde round-trip
+    * then query, rstar/src/rtree.rs:1289-1305). Two passes mirroring
+    * [[SpatialOps.knnJoin]]: ring expansion over the stored `(cell, n)`
+    * histogram until ≥ k candidates are guaranteed, a probe pass for the
+    * k-th-distance upper bound, then a disc-cover probe pass; per-cell
+    * probes keep float-exact boundary ties and the final (d2, id) window
+    * cut replicates the window path's tiebreak, so the output is
+    * bit-equal to the in-memory kNN join on the same inputs.
+    *
+    * Each probe pass groups its candidate queries BY CELL before touching
+    * the store, so every stored tree is deserialized at most once per
+    * pass regardless of how many queries hit it.
+    */
+  def knnQuery(spark: SparkSession, root: String, grid: CellGrid,
+      queries: Dataset[QueryRow], k: Int): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val store = table(spark, root)
+    // bounded: ≤ 4^res non-empty cells (the knnJoin histogram contract)
+    val histRows = store.select(col("cell"), col("n"))
+      .as[(Long, Long)].collect().sortBy(_._1)
+    val histKeys = histRows.map(_._1)
+    val histCnts = histRows.map(_._2)
+    val histB = spark.sparkContext.broadcast((histKeys, histCnts))
+
+    def probe(cand: DataFrame): DataFrame =
+      cand.groupBy("cell")
+        .agg(collect_list(struct(col("qid"), col("qx"), col("qy"))).as("qs"))
+        .join(store, Seq("cell"))
+        .select(col("tree"), col("qs"))
+        .as[(Array[Byte], Seq[(Long, Double, Double)])]
+        .flatMap { case (bytes, qs) =>
+          val t = treeFrom(bytes) // once per (cell, pass), not per query
+          qs.iterator.flatMap { case (qid, qx, qy) =>
+            val buf = Vector.newBuilder[(Long, Long, Double)]
+            t.nearestK(qx, qy, k, keepTies = true) { (p, d2) =>
+              buf += ((qid, t.ids(p), d2))
+            }
+            buf.result()
+          }
+        }
+        .toDF("qid", "id", "d2")
+
+    // Pass A: ring expansion per query until ≥ k stored points are
+    // guaranteed (same walk as SpatialOps.knnJoin pass A).
+    val candA = queries.flatMap { q =>
+      val (hk, hc) = histB.value
+      def cnt(c: Long): Long = {
+        val i = java.util.Arrays.binarySearch(hk, c)
+        if (i >= 0) hc(i) else 0L
+      }
+      val cx = grid.ix(q.x); val cy = grid.iy(q.y)
+      var cum = 0L
+      var ring = 0
+      val cells = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val maxRing = grid.cellsPerAxis
+      while (cum < k && ring <= maxRing) {
+        grid.ring(cx, cy, ring).foreach { c =>
+          val n = cnt(c)
+          if (n > 0) { cells += c; cum += n }
+        }
+        ring += 1
+      }
+      cells.map(c => (q.qid, q.x, q.y, c))
+    }.toDF("qid", "qx", "qy", "cell")
+
+    val wAsc = Window.partitionBy("qid").orderBy(col("d2"), col("id"))
+    val dUp = probe(candA)
+      .withColumn("rn", row_number().over(wAsc))
+      .where(col("rn") <= k)
+      .groupBy("qid").agg(max("d2").as("dUp"))
+      .join(queries.toDF().select(col("qid"),
+        col("x").as("qx"), col("y").as("qy")), Seq("qid"))
+
+    // Pass B: cover the disc of radius sqrt(dUp) — provably contains the
+    // true k nearest, so the final cut is exact.
+    val candB = dUp.select(col("qid"), col("qx"), col("qy"),
+      explode(graft.functions.SpatialFunctions.stCoverCells(grid)(
+        col("qx") - sqrt(col("dUp")), col("qy") - sqrt(col("dUp")),
+        col("qx") + sqrt(col("dUp")), col("qy") + sqrt(col("dUp"))))
+        .as("cell"))
+
+    probe(candB)
+      .withColumn("rn", row_number().over(wAsc))
+      .where(col("rn") <= k)
+      .select(col("qid"), col("id"), col("d2"), col("rn"))
+  }
+
   /** F4 over the persisted index: within-distance probe of the covered
     * disc's cells. Output: (id, d2).
     */

@@ -84,9 +84,28 @@ object SpatialOps {
     * emitted exactly once (no grid copies, so no reference-point dedup
     * is needed) — output row set identical.
     */
+  /** Upper bound for the bounded-layer broadcast contract: collecting more
+    * than this many layer rows fails fast with an explicit contract
+    * message instead of a driver OOM mid-collect. ~10 M entries ≈ 400 MB
+    * of tree — the same order as Catalyst's own broadcast-join ceiling;
+    * layers beyond it belong on the shuffle plans (intersectionJoin /
+    * knnJoin), exactly as an oversized dimension table belongs in a
+    * sort-merge join.
+    */
+  val MaxBroadcastLayerRows: Long = 10L * 1000 * 1000
+
+  private def requireBoundedLayer(df: DataFrame, op: String): Unit = {
+    val n = df.count() // cheap: scan-count of the small side, pushed down
+    require(n <= MaxBroadcastLayerRows,
+      s"$op: layer has $n rows > $MaxBroadcastLayerRows — the broadcast " +
+        "path is for BOUNDED layers only; use the grid shuffle plan for " +
+        "layers this size")
+  }
+
   def intersectionJoinBroadcast(left: DataFrame, right: DataFrame): DataFrame = {
     val spark = left.sparkSession
     import spark.implicits._
+    requireBoundedLayer(right, "intersectionJoinBroadcast")
     val rects = right.select("id", "minX", "minY", "maxX", "maxY")
       .as[(Long, Double, Double, Double, Double)].collect()
     val entries = rects.map { case (id, x0, y0, x1, y1) =>
@@ -336,7 +355,9 @@ object SpatialOps {
     val spark = queries.sparkSession
     import spark.implicits._
     // bounded-layer contract: the caller asserts the layer fits in memory
-    // (the 100 TB analog broadcasts exactly this much)
+    // (the 100 TB analog broadcasts exactly this much) — guarded so misuse
+    // fails fast with the contract message, not a driver OOM mid-collect
+    requireBoundedLayer(data.toDF(), "knnJoinBroadcast")
     val pts = data.collect()
     val treeB = spark.sparkContext.broadcast(graft.index.PointRTree2D.build(
       pts.map(_.id), pts.map(_.x), pts.map(_.y)))
@@ -1328,6 +1349,55 @@ object SpatialOps {
     df.withColumn("d2",
       stDistanceSq(col("x"), col("y"), lit(px), lit(py)))
       .where(col("d2") <= r2)
+
+  /** C4 (R* insert) at the distributed tier: append a micro-batch into an
+    * existing bulk-loaded layer by rebuilding only the TOUCHED cells —
+    * each touched cell bulk-loads its base slice (OMT) and then runs the
+    * REAL R* insertion per batch point (choose-subtree by minimum overlap
+    * enlargement, forced reinsertion on first overflow — `LocalRTree
+    * .insert`, the reference's bulk-then-insert shape, rstar/src/rtree.rs
+    * :1307-1371) — then answers a range query over the merged index.
+    *
+    * Scale shape: the per-cell merge is the standard micro-batch append
+    * for a partitioned index (SURVEY §2.1 C4) — cells untouched by the
+    * batch never rebuild, and here the query box prunes BOTH sides to its
+    * covered cells before the single shuffle, so the job's cost is
+    * O(touched ∩ covered cells), not O(index).
+    *
+    * Output: (id, x, y) — every base ∪ batch point in `q`, each exactly
+    * once (a point belongs to exactly one cell).
+    */
+  def insertAppendRange(base: Dataset[PointRow], batch: Dataset[PointRow],
+      grid: CellGrid, q: AABB): DataFrame = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    val cover = grid.cover(q).toSet
+    val coverB = spark.sparkContext.broadcast(cover)
+    val tagged = base.map(p => (grid.cellId(p.x, p.y), p.id, p.x, p.y, false))
+      .union(batch.map(p => (grid.cellId(p.x, p.y), p.id, p.x, p.y, true)))
+      .filter(r => coverB.value.contains(r._1))
+    tagged
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        import scala.collection.mutable
+        val baseEntries = mutable.ArrayBuffer.empty[Entry[PointRow]]
+        val batchPts = mutable.ArrayBuffer.empty[PointRow]
+        it.foreach { case (_, id, x, y, isBatch) =>
+          if (isBatch) batchPts += PointRow(id, x, y)
+          else baseEntries += Entry(AABB.of2d(x, y, x, y), PointRow(id, x, y))
+        }
+        val tree = new LocalRTree[PointRow](2, 40, 1)
+          .bulkLoad(baseEntries.toArray)
+        // deterministic insert order (id-ascending): the R* reinsertion
+        // cascade is order-dependent structurally; the query RESULT is a
+        // set either way, but determinism keeps reruns bit-stable
+        batchPts.sortInPlaceBy(_.id).foreach { p =>
+          tree.insert(Entry(AABB.of2d(p.x, p.y, p.x, p.y), p))
+        }
+        tree.queryIntersecting(q).map(e => (e.value.id, e.value.x, e.value.y))
+      }
+      .toDF("id", "x", "y")
+  }
 
   /** Adaptive cell split — the locality-preserving skew handler for INDEX
     * BUILDS (SURVEY §4.4; salting is the join-side twin): cells whose

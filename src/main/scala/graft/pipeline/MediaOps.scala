@@ -95,6 +95,118 @@ object MediaOps {
     }
   }
 
+  final case class FmtImageRow(media_id: Long, fmt: String, payload: Array[Byte])
+  final case class FmtImageMeta(
+      media_id: Long, fmt: String, width: Long, height: Long, pix_sum: Long)
+
+  /** Format rotation for the multi-format image table: the dominant web
+    * image formats a Common-Crawl-shaped pipeline actually meets, all
+    * decodable by the JDK's own `javax.imageio` (zero external jars).
+    */
+  def fmtOf(id: Long): String = (id % 4) match {
+    case 0 => "png"
+    case 1 => "bmp"
+    case 2 => "gif"
+    case _ => "jpg"
+  }
+
+  /** Deterministic REAL image in the per-id format: PNG/BMP carry the same
+    * RGB raster rule as [[syntheticPng]] (both lossless, so decode must
+    * reproduce every pixel); GIF is palette-indexed, so its raster is
+    * grayscale over an explicit 256-entry identity palette — indexed
+    * encoding is exact, making GIF decode checksum-verifiable too; JPEG
+    * (lossy by design) carries the RGB rule and is verified on dimensions
+    * plus a near-raster spec assertion, not an exact checksum.
+    */
+  def syntheticImageFmt(id: Long): Array[Byte] = {
+    val w = 8 + (id % 16).toInt
+    val h = 8 + (id % 12).toInt
+    val fmt = fmtOf(id)
+    val img = if (fmt == "gif") {
+      // explicit grayscale palette (entry i = rgb(i,i,i)): the GIF writer
+      // stores indices + palette verbatim, so decode is bit-exact — an RGB
+      // source would get color-quantized and break the oracle
+      val pal = Array.tabulate(256)(i => (0xff << 24) | (i << 16) | (i << 8) | i)
+      val icm = new java.awt.image.IndexColorModel(
+        8, 256, pal, 0, false, -1, java.awt.image.DataBuffer.TYPE_BYTE)
+      val im = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+      val raster = im.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          raster.setSample(x, y, 0, ((x * 7 + y * 13 + id) % 256).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      im
+    } else {
+      val im = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val r = ((x * 7 + y * 13 + id) % 256).toInt
+          val g = ((x * 3 + y * 5 + 2 * id) % 256).toInt
+          val b = ((x * 11 + y * 2 + 3 * id) % 256).toInt
+          im.setRGB(x, y, (r << 16) | (g << 8) | b)
+          x += 1
+        }
+        y += 1
+      }
+      im
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, fmt, bos)
+    bos.toByteArray
+  }
+
+  /** Multi-format image table, one payload per document id in the per-id
+    * format — encoded distributed, like [[pngTable]].
+    */
+  def imageFormatsTable(docs: DataFrame): Dataset[FmtImageRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .map(id => FmtImageRow(id, fmtOf(id), syntheticImageFmt(id)))
+  }
+
+  /** REAL multi-format image decode: every payload — PNG, BMP, GIF, JPEG —
+    * is parsed by ImageIO in the batched per-partition pass, and the full
+    * raster is walked for the checksum (JPEG included: its checksum is
+    * spec-asserted near the source raster; the driver oracle pins its
+    * dimensions, and the lossless formats' checksums exactly).
+    */
+  def decodeImageFormats(ds: Dataset[FmtImageRow]): Dataset[FmtImageMeta] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { row =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(row.payload))
+        require(img != null,
+          s"undecodable ${row.fmt} payload for media ${row.media_id}")
+        var s = 0L
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val rgb = img.getRGB(x, y)
+            s += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        FmtImageMeta(row.media_id, row.fmt,
+          img.getWidth.toLong, img.getHeight.toLong, s)
+      }
+    }
+  }
+
   final case class AudioRow(media_id: Long, payload: Array[Byte])
   final case class AudioMeta(
       media_id: Long, n_samples: Long, sample_rate: Long, amp_sum: Long)
@@ -264,6 +376,10 @@ object MediaOps {
         }
         require(w > 0 && h > 0 && chroma.startsWith("420"),
           s"unsupported Y4M geometry/chroma for media ${row.media_id}")
+        // 4:2:0 subsamples both axes by 2 — odd geometry would truncate
+        // frameBytes and desynchronize the frame walk
+        require(w % 2 == 0 && h % 2 == 0,
+          s"odd 4:2:0 geometry for media ${row.media_id}")
         val frameBytes = w * h * 3 / 2
         var pos = e + 1
         var frames = 0L
@@ -306,6 +422,12 @@ object MediaOps {
           case _   => ()
         }
       }
+      // same guards as decodeVideo: absent W/H tokens must fail loudly,
+      // not silently emit zero frames; odd 4:2:0 geometry would truncate
+      // frameBytes and desynchronize the frame walk
+      require(w > 0 && h > 0, s"missing Y4M geometry for media ${row.media_id}")
+      require(w % 2 == 0 && h % 2 == 0,
+        s"odd 4:2:0 geometry for media ${row.media_id}")
       val frameBytes = w * h * 3 / 2
       val frameSpan = "FRAME\n".length + frameBytes
       val nFrames = (p.length - (e + 1)) / frameSpan

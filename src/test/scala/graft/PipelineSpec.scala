@@ -350,6 +350,79 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("REAL multi-format image decode: PNG/BMP/GIF round-trip exactly; " +
+    "JPEG decodes to a raster near the source (lossy by design)") {
+    import spark.implicits._
+    def rgbSum(id: Long): Long = {
+      val w = 8 + (id % 16); val h = 8 + (id % 12)
+      var s = 0L
+      for (y <- 0L until h; x <- 0L until w)
+        s += (x * 7 + y * 13 + id) % 256 +
+          (x * 3 + y * 5 + 2 * id) % 256 + (x * 11 + y * 2 + 3 * id) % 256
+      s
+    }
+    def graySum(id: Long): Long = {
+      val w = 8 + (id % 16); val h = 8 + (id % 12)
+      var s = 0L
+      for (y <- 0L until h; x <- 0L until w)
+        s += 3 * ((x * 7 + y * 13 + id) % 256)
+      s
+    }
+    val rows = MediaOps.imageFormatsTable(docs).cache()
+    val got = MediaOps.decodeImageFormats(rows).collect()
+    assert(got.length == docs.count())
+    got.foreach { m =>
+      val w = 8 + (m.media_id % 16); val h = 8 + (m.media_id % 12)
+      assert((m.width, m.height) == ((w, h)),
+        s"dims mismatch for ${m.fmt} ${m.media_id}")
+      m.fmt match {
+        case "png" | "bmp" =>
+          assert(m.pix_sum == rgbSum(m.media_id),
+            s"lossless ${m.fmt} checksum mismatch for ${m.media_id}")
+        case "gif" =>
+          assert(m.pix_sum == graySum(m.media_id),
+            s"gif palette checksum mismatch for ${m.media_id}")
+        case "jpg" =>
+          // lossy: decoded raster must be NEAR the source — mean abs error
+          // per channel-sample well under a gray step; a header-sniffing
+          // fake would be off by ~85 (uniform-vs-pattern expectation)
+          val n = 3L * w * h
+          val mae = math.abs(m.pix_sum - rgbSum(m.media_id)).toDouble / n
+          assert(mae < 48.0, s"jpeg raster too far off for ${m.media_id}: $mae")
+      }
+    }
+    // JPEG per-pixel: sum differences can cancel — decode a sample locally
+    // and bound the TRUE per-sample mean abs error against the source
+    rows.filter(_.fmt == "jpg").take(5).foreach { r =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.payload))
+      val id = r.media_id
+      var err = 0L; var n = 0L
+      for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        err += math.abs(((rgb >> 16) & 0xff) - (x * 7 + y * 13 + id) % 256) +
+          math.abs(((rgb >> 8) & 0xff) - (x * 3 + y * 5 + 2 * id) % 256) +
+          math.abs((rgb & 0xff) - (x * 11 + y * 2 + 3 * id) % 256)
+        n += 3
+      }
+      assert(err.toDouble / n < 64.0,
+        s"jpeg per-pixel MAE too high for $id: ${err.toDouble / n}")
+    }
+    // the payloads really are the advertised containers (magic bytes)
+    rows.collect().take(40).foreach { r =>
+      r.fmt match {
+        case "png" => assert((r.payload(0) & 0xff) == 0x89 &&
+          r.payload(1) == 'P'.toByte)
+        case "bmp" => assert(r.payload(0) == 'B'.toByte &&
+          r.payload(1) == 'M'.toByte)
+        case "gif" => assert(new String(r.payload.take(4), "US-ASCII") == "GIF8")
+        case "jpg" => assert((r.payload(0) & 0xff) == 0xff &&
+          (r.payload(1) & 0xff) == 0xd8)
+      }
+    }
+    rows.unpersist()
+  }
+
   test("REAL audio decode: distributed WAV encode -> javax.sound.sampled " +
     "decode round-trips frame count, rate, and every sample") {
     import spark.implicits._

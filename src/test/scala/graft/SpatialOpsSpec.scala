@@ -517,6 +517,55 @@ class SpatialOpsSpec extends AnyFunSuite {
     assert(ties.select("id").collect().map(_.getLong(0)).toSet == Set(0L, 1L, 2L, 3L))
   }
 
+  test("insertAppendRange (C4: bulk base + R* insert batch, touched-cell " +
+    "rebuild) == union filter; disjoint from base-only on batch hits") {
+    val s = sc
+    import s.implicits._
+    val base = points(800, 11000)
+    val batch = points(200, 12000).map(p => p.copy(id = p.id + 1000000L))
+    val q = AABB.of2d(-60, -40, 60, 40)
+    val got = SpatialOps.insertAppendRange(base, batch, grid, q)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
+    val expect = (base.collect() ++ batch.collect())
+      .filter(p => q.containsPoint(Array(p.x, p.y)))
+      .map(p => (p.id, p.x, p.y)).toSet
+    assert(got == expect)
+    // the batch contributes real hits (the insert path is actually probed)
+    assert(expect.exists(_._1 >= 1000000L))
+    // base-only run differs exactly by the batch hits
+    val baseOnly = SpatialOps.insertAppendRange(base,
+      s.emptyDataset[PointRow], grid, q)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
+    assert(baseOnly == expect.filter(_._1 < 1000000L))
+  }
+
+  test("IndexStore.knnQuery (persisted-tree serving, no rebuild) == " +
+    "knnJoin bit-for-bit on the same input") {
+    val s = sc
+    import s.implicits._
+    val data = points(3000, 13000)
+    val queries = s.range(30).map(i =>
+      QueryRow(i, uniform(i + 14000, 1) * 360.0 - 180.0,
+        uniform(i + 14000, 2) * 170.0 - 85.0))
+    val root = java.nio.file.Files.createTempDirectory("graft_pknn").toString
+    try {
+      IndexStore.build(s, data, grid, root)
+      val got = IndexStore.knnQuery(s, root, grid, queries, 5)
+        .collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).sorted
+      val expect = SpatialOps.knnJoin(queries, data, 5, grid)
+        .collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).sorted
+      assert(got.length == expect.length && got.sameElements(expect))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(root))
+    }
+  }
+
   test("range selections match filtered scans (F1/F2/F3/F4)") {
     val s = sc
     val r = rects(500, 6000).toDF().cache()

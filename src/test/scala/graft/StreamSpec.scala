@@ -185,4 +185,45 @@ class StreamSpec extends AnyFunSuite {
     }
     assert(ents.nonEmpty)
   }
+
+  test("watermarked windowed cellCounts: a late row beyond the watermark is " +
+    "DROPPED; windows the watermark passed are finalized and emitted") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_w").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_wc").toString
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    // batch 1: rows at 0:30, 1:30, and 10:00 (the max — watermark becomes
+    // 8:00 with the 2h delay)
+    val b1 = Seq((ts(30), 1.0, 1.0), (ts(90), 2.0, 2.0), (ts(600), 3.0, 3.0))
+      .toDF("warc_ts", "x", "y")
+    b1.write.mode("overwrite").parquet(dir)
+    val schema = b1.schema
+    val grid = CellGrid.lonLat(4)
+    val stream = spark.readStream.schema(schema).parquet(dir)
+      .withColumn("cell",
+        graft.functions.SpatialFunctions.stCell(grid)(col("x"), col("y")))
+    val q = StreamOps.cellCounts(stream, "1 hour", "2 hours")
+      .writeStream.format("memory").queryName("wm_counts")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    q.processAllAvailable()
+    // batch 2: a LATE row at 0:45 (its window [0:00,1:00) closed at
+    // watermark 8:00 — must be dropped) and an on-time row at 9:30 (window
+    // end 10:00 > watermark — aggregated but not yet finalized)
+    Seq((ts(45), 1.0, 1.0), (ts(570), 4.0, 4.0))
+      .toDF("warc_ts", "x", "y").write.mode("append").parquet(dir)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("wm_counts")
+      .select(col("win_start"), col("cnt")).collect()
+      .map(r => (r.getTimestamp(0).getTime / 60000L, r.getLong(1))).toMap
+    // exactly the two closed windows; the 0:00 window counts ONE row — the
+    // late 0:45 arrival was dropped, not merged
+    assert(got == Map(0L -> 1L, 60L -> 1L), s"got $got")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+    }
+    rm(new java.io.File(dir)); rm(new java.io.File(ckpt))
+  }
 }
