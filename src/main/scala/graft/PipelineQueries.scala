@@ -36,8 +36,11 @@ object PipelineQueries {
 
   /** CTE chain producing minhash-LSH verified near-dup `<p>pairs` (a, b,
     * jac) over `srcTable` — the SQL twin of PipelineOps.minhashLshPairs,
-    * generated from the same OracleHash constants. `p` prefixes the CTE
-    * names so two instantiations can coexist in one query.
+    * generated from the same OracleHash constants; the verify Jaccard is
+    * computed over the DISTINCT 31-bit hashed shingle space (`shd`), the
+    * same representation the engine's ShingleHash31s arrays carry. `p`
+    * prefixes the CTE names so two instantiations can coexist in one
+    * query.
     */
   def minhashPairsCtes(srcTable: String, numPerms: Int, bands: Int,
       threshold: Double, p: String): String = {
@@ -64,10 +67,11 @@ object PipelineQueries {
        |${p}cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
        |  FROM ${p}bands x JOIN ${p}bands y
        |  ON x.band = y.band AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id),
-       |${p}cnt AS (SELECT doc_id, COUNT(*) AS n FROM ${p}sh GROUP BY doc_id),
+       |${p}shd AS (SELECT DISTINCT doc_id, sh31 FROM ${p}shh),
+       |${p}cnt AS (SELECT doc_id, COUNT(*) AS n FROM ${p}shd GROUP BY doc_id),
        |${p}inter AS (SELECT c.a, c.b, COUNT(*) AS cc FROM ${p}cand c
-       |  JOIN ${p}sh sa ON sa.doc_id = c.a
-       |  JOIN ${p}sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+       |  JOIN ${p}shd sa ON sa.doc_id = c.a
+       |  JOIN ${p}shd sb ON sb.doc_id = c.b AND sb.sh31 = sa.sh31
        |  GROUP BY c.a, c.b),
        |${p}pairs AS (SELECT i.a, i.b,
        |  CAST(i.cc AS DOUBLE) / (ca.n + cb.n - i.cc) AS jac

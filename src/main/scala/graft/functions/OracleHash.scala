@@ -72,6 +72,15 @@ object OracleHash {
     org.apache.spark.sql.graft.ColumnShim.column(
       MinHashSig(org.apache.spark.sql.graft.ColumnShim.expression(s), n, numPerms))
 
+  /** Sorted-distinct 31-bit shingle-hash set per document (native
+    * [[ShingleHash31s]] expression) — the per-doc set representation the
+    * exact-Jaccard verify intersects; twin space is `SELECT DISTINCT
+    * doc_id, sh31` in the generated CTEs.
+    */
+  def shingleHash31s(s: Column, n: Int): Column =
+    org.apache.spark.sql.graft.ColumnShim.column(
+      ShingleHash31s(org.apache.spark.sql.graft.ColumnShim.expression(s), n))
+
   /** DuckDB twin of [[polyHash31]]. */
   def polyHash31Sql(s: String): String =
     s"list_reduce(list_prepend(0::BIGINT, list_transform(string_split($s, ''), " +

@@ -130,45 +130,46 @@ object PipelineOps {
       .select("a", "b", "jac")
   }
 
-  /** Exact Jaccard (over ALL shingles) for just the LSH candidate pairs,
-    * with the result filtered to J ≥ threshold. LSH candidates are sparse
-    * by construction (only banding collisions — the near-dup cluster
-    * structure), so the pair set rides the broadcast: every pass over the
-    * (huge, recomputable) shingle stream is a map-side broadcast join, no
-    * full-table shuffle and no cache/checkpoint to leak. NOT used by
-    * [[ngramJaccardPairs]], whose candidate set is dense on overlap-heavy
-    * corpora — it computes intersections by multiplicity instead.
+  /** Exact Jaccard over the 31-bit hashed shingle SPACE for just the LSH
+    * candidate pairs, with the result filtered to J ≥ threshold. Each
+    * candidate document is reduced to its sorted-distinct shingle-hash
+    * array by the native [[graft.functions.ShingleHash31s]] expression
+    * (one UTF-8 pass, no shingle strings), so the verify stage is a
+    * candidate-pair join over per-doc arrays + `array_intersect` — NO
+    * shingle-level explode or shuffle at all (the previous plan shingled
+    * candidate docs three times and shuffled on (doc, shingle)). The
+    * DuckDB twins compute Jaccard over the same hash space
+    * (`SELECT DISTINCT doc_id, sh31`), so engine and oracle agree by
+    * construction; vs string-shingle Jaccard, 31-bit collisions perturb
+    * ~1e-3 of candidate pairs by at most one intersection count — the
+    * standard production representation for shingle dedup. NOT used by
+    * [[ngramJaccardPairs]], which declares string-shingle semantics and
+    * computes intersections by multiplicity.
     */
   private def exactJaccardVerify(docs: DataFrame, n: Int, cand0: DataFrame,
       threshold: Double): DataFrame = {
     // The candidate set is TINY (near-dup cluster structure) but EXPENSIVE
-    // (it sits downstream of the full shingle shuffle / banding), and it
-    // feeds three broadcast subtrees below — which Spark would each
-    // recompute from scratch (broadcast exchanges of distinct subplans
-    // never share work). Materialize the tiny table once, eagerly; unlike
-    // round 2's localCheckpoint of the FULL shingle table this is a few-KB
-    // artifact, not a corpus-sized materialization.
+    // (it sits downstream of the full shingle shuffle / banding) and feeds
+    // two subtrees; materialize it once, eagerly — a few-KB artifact.
     val cand = cand0.localCheckpoint(true)
     val candDocs = cand.select(col("a").as("doc_id"))
       .union(cand.select(col("b").as("doc_id"))).distinct()
-    // Shingle only the candidate docs: the semi-join sits BELOW the
-    // explode, so the (interpreted-HOF, string-building) shingle transform
-    // touches |cand| docs instead of the corpus — and since all three
-    // subtrees recompute their shingle input, three corpus-wide explodes
-    // become three candidate-sized ones. Per-doc shingle sets (and so
-    // Jaccard) are unchanged: the filter is per-document, not per-shingle.
-    val sh = shingles(
-      docs.join(broadcast(candDocs), Seq("doc_id"), "left_semi"), n)
-    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val shA = sh.toDF("a", "shingle").join(broadcast(cand), Seq("a"))
-    val shB = sh.toDF("b", "shingle").join(
-      broadcast(cand.select(col("b")).distinct()), Seq("b"), "left_semi")
-    val inter = shA.join(shB, Seq("b", "shingle"))
-      .groupBy("a", "b").agg(count(lit(1)).as("c"))
-    inter
-      .join(cnt.select(col("doc_id").as("a"), col("n").as("na")), Seq("a"))
-      .join(cnt.select(col("doc_id").as("b"), col("n").as("nb")), Seq("b"))
-      .withColumn("jac", col("c").cast("double") / (col("na") + col("nb") - col("c")))
+    val toks = split(col("text"), " ")
+    val sh = docs.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+      .where(size(toks) >= n) // the shingles() short-doc gate
+      .select(col("doc_id"),
+        graft.functions.OracleHash.shingleHash31s(col("text"), n).as("hs"))
+    // candidate pairs join the per-doc arrays; |sh| ≤ 2·|cand| docs, so
+    // Catalyst broadcasts the sides AQE sizes as small — and at any scale
+    // these are plain equi-joins on doc id, never on shingles
+    cand
+      .join(sh.select(col("doc_id").as("a"), col("hs").as("ha"),
+        size(col("hs")).cast("long").as("na")), Seq("a"))
+      .join(sh.select(col("doc_id").as("b"), col("hs").as("hb"),
+        size(col("hs")).cast("long").as("nb")), Seq("b"))
+      .withColumn("c", size(array_intersect(col("ha"), col("hb"))).cast("long"))
+      .withColumn("jac",
+        col("c").cast("double") / (col("na") + col("nb") - col("c")))
       .where(col("jac") >= threshold)
       .select("a", "b", "jac")
   }
@@ -373,9 +374,21 @@ object PipelineOps {
     // groupBy + semi-join back onto a re-scanned docs (two shuffles + a
     // second scan). Same keeper rule as exactDupGroups.
     val wDup = Window.partitionBy(md5(col("text").cast("binary")))
+    // Materialized ONCE (executor-local blocks, spillable): the deduped
+    // corpus feeds five distinct subtrees downstream — the signature pass,
+    // the three verify subtrees (each under its own broadcast exchange,
+    // which never share work), and the final anti-join's left side — and
+    // without the checkpoint each one re-runs the scan + md5 window
+    // shuffle from scratch (measured: 24 jobs / 4.1 s at sf0.1, ~5 window
+    // recomputes). One bounded materialization of the survivors is the
+    // multi-consumer-intermediate pattern at any scale; this is NOT the
+    // round-2 mistake of checkpointing the exploded shingle table (a
+    // ~30× blow-up) — it is the corpus itself, strictly smaller than the
+    // input.
     val exactDeduped = docs
       .withColumn("k_", min("doc_id").over(wDup))
       .where(col("doc_id") === col("k_")).drop("k_")
+      .localCheckpoint(true)
     // 2. near-dup removal: drop the larger id of each verified pair.
     // 32 perms / 8 bands of 4: P(miss) at J=0.9 is (1-0.9^4)^8 ≈ 2e-4 —
     // the 16/4 default misses ~1.4% of strong pairs, which a cleaner

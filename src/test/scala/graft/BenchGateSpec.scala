@@ -25,4 +25,16 @@ class BenchGateSpec extends AnyFunSuite {
     assert(!Bench.isSlow("q_new", 99.0, budget)) // no budget -> no flag
     assert(!Bench.isSlow("q_a", 3.1, Map.empty)) // no file -> gate off
   }
+
+  test("scaling-pair gate fires on an injected throttled pair and names " +
+    "it by index; a clean run flags nothing") {
+    // injected throttle: pair 2 ran one leg into a load episode
+    val noisy = Seq(0.91, 0.88, 0.42, 0.85, 0.93, 0.82, 0.90)
+    assert(Bench.slowPairs(noisy) == Seq("scaling_pair_2_eff_0.420"))
+    // clean run: all pairs at/above threshold
+    assert(Bench.slowPairs(Seq(0.85, 0.70, 0.93)).isEmpty)
+    // boundary: strictly-below flags, equal does not
+    assert(Bench.slowPairs(Seq(0.699)).nonEmpty)
+    assert(Bench.slowPairs(Seq.empty).isEmpty)
+  }
 }

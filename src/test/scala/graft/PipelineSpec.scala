@@ -85,6 +85,37 @@ class PipelineSpec extends AnyFunSuite {
       got.contains(100004L))
   }
 
+  test("ShingleHash31s native expression == sorted-distinct exploded " +
+    "shingle hashes, bit-for-bit, incl. multi-byte and empty-token docs") {
+    import graft.functions.OracleHash._
+    val n = 3
+    val extra = spark.createDataFrame(Seq(
+      (100001L, "héllo wörld żółć 漢字 spark spark join"),
+      (100002L, "a  b  c  d  e  f"),
+      (100003L, " leading and trailing spaces here "),
+      (100004L, "exactly three toks"),
+      (100005L, "rep rep rep rep rep"))). // duplicate shingles collapse
+      toDF("doc_id", "text")
+    val d = docs.select("doc_id", "text").union(extra)
+    // the representation it replaces: exploded distinct shingles, hashed
+    val expected = PipelineOps.shingles(d, n)
+      .withColumn("sh31", polyHash31(col("shingle")))
+      .groupBy("doc_id")
+      .agg(array_sort(array_distinct(collect_list(col("sh31")))).as("hs"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toVector).toMap
+    val got = d.where(size(split(col("text"), " ")) >= n)
+      .select(col("doc_id"), shingleHash31s(col("text"), n).as("hs"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toVector).toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (id, hs) =>
+      assert(hs == expected(id), s"hash-set mismatch for doc $id")
+      assert(hs == hs.distinct.sorted, s"not sorted-distinct for doc $id")
+    }
+    assert(got(100005L).length < 3) // duplicate shingles collapsed
+  }
+
   test("simhash: exact near-duplicates have small Hamming distance, " +
     "random pairs do not") {
     val fp = PipelineOps.simhash(docs).collect()
