@@ -24,7 +24,16 @@ val jdk17AddOpens = Seq(
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 javaOptions ++= jdk17AddOpens ++ Seq(
+  // incubator Vector API for the SIMD leaf-scan kernels (graft.index
+  // .VectorKernels); JVMs launched without the flag (plain spark-submit)
+  // degrade to the scalar paths via the Simd runtime probe
+  "--add-modules=jdk.incubator.vector",
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )
+// javac needs the module at compile time for VectorKernels.java; setting
+// javaHome forks the external javac — zinc's in-process compiler loads
+// incubator classes into the unnamed module and trips the access check
+Compile / javacOptions ++= Seq("--add-modules", "jdk.incubator.vector")
+Compile / javaHome := Some(file(sys.props("java.home")))

@@ -83,6 +83,7 @@ final class PointRTree2D private (
     */
   def locateAtPoint(px: Double, py: Double): Int = {
     if (size == 0) return -1
+    val simd = Simd.on // capture once per query; JIT folds the leaf branch
     def walk(level: Int, i: Int): Int = {
       val e = levels(level)
       val b = 4 * i
@@ -90,6 +91,7 @@ final class PointRTree2D private (
       if (level == 0) {
         val from = i * leafSize
         val to = math.min(from + leafSize, size)
+        if (simd) return VectorKernels.findEq(xs, ys, from, to, px, py)
         var p = from
         while (p < to) {
           if (xs(p) == px && ys(p) == py) return p
@@ -194,6 +196,13 @@ final class PointRTree2D private (
     * Specialized best-first: nodes go through the heap, leaf points are
     * scanned in place against the running best — no per-point heap churn.
     * Ties resolve to the smaller point id (deterministic total order).
+    */
+  /** Exact 1-NN leaf scans stay SCALAR by measurement: the SIMD block
+    * kernel ([[VectorKernels.nearestInRange]], parity spec-pinned) reads
+    * ~5-10% SLOWER here — best-distance leaves improve the running best
+    * often enough that the reduce-then-rescan pattern pays for itself
+    * only on wider leaves. locateAtPoint keeps its SIMD path (~10% win,
+    * pure compare-mask, no rescan). Recorded in BASELINE.md (round 5).
     */
   def nearest(px: Double, py: Double): (Int, Double) = {
     if (size == 0) return (-1, Double.MaxValue)
