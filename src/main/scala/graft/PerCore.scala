@@ -77,5 +77,44 @@ object PerCore {
       }
     }
     Simd.forceScalar = false
+
+    // LocalRTree tier (the BASELINE.md per-core table's middle column):
+    // reference params MIN 2 / MAX 40 / REINSERT 1 (rstar-benches
+    // benchmarks.rs:24-29). Sequential R* insert rate mirrors the
+    // reference's sequential-insert bench (README.md:35, ~1.38 M rows/s).
+    import graft.geom.AABB
+    import graft.index.{Entry, LocalRTree}
+    def entries = Array.tabulate(n)(i =>
+      Entry(AABB.of2d(xs(i), ys(i), xs(i), ys(i)), ids(i)))
+    var lt = new LocalRTree[Long](2, 40, 1).bulkLoad(entries)
+    val lbt = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      lt = new LocalRTree[Long](2, 40, 1).bulkLoad(entries)
+      (System.nanoTime() - t0) / 1e9
+    }.min
+    println(f"PERCORE local_bulk ${n / lbt / 1e6}%.2f Mrows/s")
+    val ins = entries
+    val ibt = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      val t = new LocalRTree[Long](2, 40, 1)
+      var j = 0
+      while (j < n) { t.insert(ins(j)); j += 1 }
+      (System.nanoTime() - t0) / 1e9
+    }.min
+    println(f"PERCORE local_insert ${n / ibt / 1e6}%.2f Mrows/s")
+    bench("local locate_hit") {
+      var s = 0L; var j = 0
+      while (j < q) {
+        s += lt.locateAtPoint(Array(hitX(j), hitY(j))).size; j += 1
+      }
+      s
+    }
+    bench("local 1nn") {
+      var s = 0L; var j = 0
+      while (j < q) {
+        s += lt.nearestNeighbor(Array(qx(j), qy(j))).size; j += 1
+      }
+      s
+    }
   }
 }

@@ -188,15 +188,22 @@ final class LocalRTree[T](
     val pending = mutable.Stack[(Node[T], Int)]((entry, targetLevel))
     while (pending.nonEmpty) {
       val (node, level) = pending.pop()
-      val overflow = insertAtLevel(root, node, height(root) - 1, level)
+      // the descent path (root → overfull node) is recorded so overflow
+      // handling walks ancestors in O(height): the previous root-rooted
+      // searches (recomputeEnvelopesOnPath / findParent) made every
+      // forced reinsert O(tree) — measured 0.01 M inserts/s at 100 k
+      // points, ~140× off the reference's sequential-insert rate
+      val path = mutable.ArrayBuffer.empty[Inner[T]]
+      val overflow = insertAtLevel(root, node, height(root) - 1, level, path)
       overflow match {
         case Some(full) =>
           if (reinsertionCount > 0 && !reinserted.contains(full._2)) {
             reinserted += full._2
-            reinsertOutliers(full._1).foreach(n => pending.push((n, full._2)))
+            reinsertOutliers(full._1, path).foreach(n =>
+              pending.push((n, full._2)))
           } else {
             splitNode(full._1).foreach { sibling =>
-              attachSibling(full._1, sibling)
+              attachSibling(full._1, sibling, path)
             }
           }
         case None => ()
@@ -208,12 +215,14 @@ final class LocalRTree[T](
     * (rstar/src/algorithm/rstar.rs:154-216): at the level whose children are
     * leaves, minimize overlap enlargement (ties: area enlargement, then
     * area); above, minimize area enlargement (ties: area). Returns the
-    * deepest overfull node + its level if an overflow occurred.
+    * deepest overfull node + its level if an overflow occurred; appends
+    * every visited node to `path` (root first).
     */
   private def insertAtLevel(
       node: Inner[T], toInsert: Node[T], nodeLevel: Int,
-      targetLevel: Int): Option[(Inner[T], Int)] = {
+      targetLevel: Int, path: mutable.ArrayBuffer[Inner[T]]): Option[(Inner[T], Int)] = {
     node.env = node.env.merged(toInsert.env)
+    path += node
     val childrenAreLeaves = node.children.isEmpty ||
       node.children.head.isInstanceOf[Entry[_]]
     if (nodeLevel == targetLevel || childrenAreLeaves) {
@@ -221,7 +230,7 @@ final class LocalRTree[T](
       if (node.children.length > maxSize) Some((node, nodeLevel)) else None
     } else {
       val child = chooseSubtree(node, toInsert.env)
-      val deeper = insertAtLevel(child, toInsert, nodeLevel - 1, targetLevel)
+      val deeper = insertAtLevel(child, toInsert, nodeLevel - 1, targetLevel, path)
       deeper.orElse {
         if (node.children.length > maxSize) Some((node, nodeLevel)) else None
       }
@@ -230,6 +239,25 @@ final class LocalRTree[T](
 
   private def chooseSubtree(node: Inner[T], env: AABB): Inner[T] = {
     val kids = node.children
+    // Containment fast path (rstar/src/algorithm/rstar.rs:166-180): when
+    // one or more children already fully CONTAIN the insertion envelope,
+    // descend into the smallest-area one — O(M), no overlap arithmetic.
+    // For point inserts into a warmed tree this is the common case, and
+    // skipping it both deviated from the reference's choose_subtree rule
+    // and made every descent pay the O(M²) overlap pass (measured 20+ µs
+    // per insert at MAX_SIZE 40 — ~30× the reference's sequential rate).
+    var inclBest: Inner[T] = null
+    var inclArea = Double.MaxValue
+    var ii = 0
+    while (ii < kids.length) {
+      val c = kids(ii).asInstanceOf[Inner[T]]
+      if (c.env.containsEnvelope(env)) {
+        val a = c.env.area
+        if (a < inclArea) { inclArea = a; inclBest = c }
+      }
+      ii += 1
+    }
+    if (inclBest != null) return inclBest
     val grandchildrenAreLeaves =
       kids.head.asInstanceOf[Inner[T]].children.headOption
         .forall(_.isInstanceOf[Entry[_]])
@@ -274,7 +302,8 @@ final class LocalRTree[T](
     * REINSERTION_COUNT children whose centers are farthest from the node's
     * center and hand them back for reinsertion.
     */
-  private def reinsertOutliers(node: Inner[T]): Seq[Node[T]] = {
+  private def reinsertOutliers(node: Inner[T],
+      path: mutable.ArrayBuffer[Inner[T]]): Seq[Node[T]] = {
     val center = node.env.center
     val sorted = node.children.sortBy { c =>
       -graft.geom.Pt.distance2(c.env.center, center)
@@ -283,7 +312,9 @@ final class LocalRTree[T](
     node.children.clear()
     node.children ++= keep
     node.recomputeEnv()
-    recomputeEnvelopesOnPath(root, node)
+    // shrink ancestor envelopes along the recorded descent path — O(height)
+    var i = path.indexWhere(_ eq node) - 1
+    while (i >= 0) { path(i).recomputeEnv(); i -= 1 }
     out.toSeq
   }
 
@@ -335,50 +366,23 @@ final class LocalRTree[T](
     Some(sibling)
   }
 
-  private def attachSibling(node: Inner[T], sibling: Inner[T]): Unit = {
+  private def attachSibling(node: Inner[T], sibling: Inner[T],
+      path: mutable.ArrayBuffer[Inner[T]]): Unit = {
     if (node eq root) {
       val newRoot = Inner.ofChildren(Array[Node[T]](node, sibling))
       root = newRoot
     } else {
-      val parent = findParent(root, node).get
+      // the parent is the path entry just above `node` — O(1) via the
+      // recorded descent, not a root-rooted search
+      val idx = path.indexWhere(_ eq node)
+      require(idx > 0, "overflow node must sit on the recorded descent path")
+      val parent = path(idx - 1)
       parent.children += sibling
-      recomputeEnvelopesOnPath(root, parent)
+      var i = idx - 1
+      while (i >= 0) { path(i).recomputeEnv(); i -= 1 }
       if (parent.children.length > maxSize)
-        splitNode(parent).foreach(s => attachSibling(parent, s))
+        splitNode(parent).foreach(s => attachSibling(parent, s, path))
     }
-  }
-
-  private def findParent(cur: Inner[T], target: Inner[T]): Option[Inner[T]] = {
-    var i = 0
-    while (i < cur.children.length) {
-      cur.children(i) match {
-        case inner: Inner[T @unchecked] =>
-          if (inner eq target) return Some(cur)
-          if (inner.env.intersects(target.env)) {
-            val r = findParent(inner, target)
-            if (r.isDefined) return r
-          }
-        case _ => ()
-      }
-      i += 1
-    }
-    None
-  }
-
-  private def recomputeEnvelopesOnPath(cur: Inner[T], changed: Inner[T]): Boolean = {
-    if (cur eq changed) { cur.recomputeEnv(); return true }
-    var found = false
-    var i = 0
-    while (i < cur.children.length && !found) {
-      cur.children(i) match {
-        case inner: Inner[T @unchecked] =>
-          found = recomputeEnvelopesOnPath(inner, changed)
-        case _ => ()
-      }
-      i += 1
-    }
-    if (found) cur.recomputeEnv()
-    found
   }
 
   // -------------------------------------------------------------- queries
