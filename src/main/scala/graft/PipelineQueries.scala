@@ -143,6 +143,36 @@ object PipelineQueries {
     s"""WITH ${minhashPairsCtes("documents", 16, 4, 0.7, "m_")}
        |SELECT a, b, jac FROM m_pairs ORDER BY a, b""".stripMargin
 
+  /** Near-dup clusters — connected components over the SAME verified
+    * MinHash-LSH pair graph as q_minhash_dup (alternating large-star /
+    * small-star, O(log n) rounds; PipelineOps.connectedComponents). The
+    * DuckDB twin closes the pair graph with a recursive CTE and labels
+    * each doc with its component's minimum id, so a green row certifies
+    * the distributed CC fixpoint itself, not just the pair stage.
+    */
+  def dupClusters(spark: SparkSession, dir: String): DataFrame =
+    PipelineOps.dupClusters(docs(spark, dir), 3, 0.7)
+      .select(col("doc_id"), col("cluster").cast("long"),
+        col("csize").cast("long").as("csize"))
+      .orderBy("doc_id")
+
+  val dupClustersSql: String =
+    s"""WITH RECURSIVE ${minhashPairsCtes("documents", 16, 4, 0.7, "m_")},
+       |und AS (SELECT a AS u, b AS v FROM m_pairs
+       |        UNION ALL SELECT b AS u, a AS v FROM m_pairs),
+       |nodes AS (SELECT DISTINCT u AS id FROM und),
+       |reach(id, r) AS (
+       |  SELECT id, id AS r FROM nodes
+       |  UNION
+       |  SELECT e.u AS id, reach.r FROM und e JOIN reach ON reach.id = e.v),
+       |comp AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id),
+       |sz AS (SELECT cluster, COUNT(*) AS csize FROM comp GROUP BY cluster)
+       |SELECT CAST(c.id AS BIGINT) AS doc_id,
+       |  CAST(c.cluster AS BIGINT) AS cluster,
+       |  CAST(s.csize AS BIGINT) AS csize
+       |FROM comp c JOIN sz s ON s.cluster = c.cluster
+       |ORDER BY doc_id""".stripMargin
+
   def simhash(spark: SparkSession, dir: String): DataFrame =
     PipelineOps.simhash(docs(spark, dir)).orderBy("doc_id")
 

@@ -41,6 +41,7 @@ object SparkEntry {
     "q_embed_dup" -> (PipelineQueries.embedDup(_, _)),
     "q_ngram_dup" -> (PipelineQueries.ngramDup(_, _)),
     "q_minhash_dup" -> (PipelineQueries.minhashDup(_, _)),
+    "q_dup_clusters" -> (PipelineQueries.dupClusters(_, _)),
     "q_clean_corpus" -> (PipelineQueries.cleanCorpus(_, _)),
     "q_simhash" -> (PipelineQueries.simhash(_, _)),
     "q_fingerprints" -> (PipelineQueries.fingerprints(_, _)),
@@ -98,6 +99,7 @@ object SparkEntry {
     "q_embed_dup" -> PipelineQueries.embedDupSql,
     "q_ngram_dup" -> PipelineQueries.ngramDupSql,
     "q_minhash_dup" -> PipelineQueries.minhashDupSql,
+    "q_dup_clusters" -> PipelineQueries.dupClustersSql,
     "q_simhash" -> PipelineQueries.simhashSql,
     "q_clean_corpus" -> PipelineQueries.cleanCorpusSql,
     "q_lang_id" -> PipelineQueries.langIdSql,

@@ -232,6 +232,106 @@ object PipelineOps {
     exactJaccardVerify(docs, n, cand, threshold)
   }
 
+  // ------------------------------------------- duplicate clusters (CC)
+
+  /** Connected components over an undirected edge list — the completion
+    * step pair-based dedup needs at corpus scale: near-duplication is not
+    * transitive, so a per-PAIR keeper rule either over- or under-deletes
+    * chained shards; the canonical rule is one keeper per connected
+    * component of the verified dup graph.
+    *
+    * Algorithm: alternating large-star / small-star rounds (Kiveris et
+    * al., "Connected Components in MapReduce and Beyond", SoCC 2014) —
+    * O(log n) rounds on ANY graph shape, where naive min-label
+    * propagation needs O(diameter) rounds (linear on a chain of pairwise
+    * near-dup shards, a real web-corpus shape). Each round is two
+    * window-min shuffles over the current edge set; the per-node minimum
+    * rides the window's spillable partition frame, so no adjacency list
+    * is ever collected and a boilerplate hot node with 10^8 dup edges
+    * streams through disk rather than materializing.
+    *
+    * Deterministic: the component label is the component's minimum node
+    * id. Output: (id, comp) for every node with an incident edge
+    * (isolated docs never enter the edge list and are trivially their own
+    * keeper). Convergence is detected by an edge-set checksum
+    * (count + order-free xor fold — one tiny agg per round); each round's
+    * edge set is localCheckpointed to truncate the iterative lineage.
+    */
+  def connectedComponents(edges: DataFrame, uCol: String = "a",
+      vCol: String = "b", maxRounds: Int = 50): DataFrame = {
+    // materialize the raw pair list ONCE — both the canonical edge set
+    // and the node set derive from it, and the input lineage (e.g. the
+    // whole MinHash-LSH pipeline) must not be recomputed per consumer
+    val pre = edges.select(col(uCol).cast("long").as("hi"),
+      col(vCol).cast("long").as("lo")).localCheckpoint(true)
+    // canonical undirected form (hi > lo); self-loops and dup edges out
+    var e = pre.select(
+        greatest(col("hi"), col("lo")).as("hi"),
+        least(col("hi"), col("lo")).as("lo"))
+      .where(col("hi") =!= col("lo"))
+      .distinct()
+      .localCheckpoint(true)
+    // node set fixed up front (from the RAW pairs: a self-loop still
+    // registers its node as a singleton component; converged stars lose
+    // interior nodes' edges, so it can't be derived later)
+    val nodes = pre.select(col("hi").as("id"))
+      .union(pre.select(col("lo").as("id")))
+      .distinct()
+    def checksum(d: DataFrame): (Long, Long) = {
+      val r = d.agg(count(lit(1)),
+        bit_xor(xxhash64(col("hi"), col("lo")))).collect()(0)
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var prev = checksum(e)
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      // large-star: every strictly-larger neighbor of u links to the
+      // minimum of u's closed neighborhood (min rides u's window frame)
+      val und = e.select(col("hi").as("u"), col("lo").as("v"))
+        .union(e.select(col("lo").as("u"), col("hi").as("v")))
+      val ls = und
+        .withColumn("m", least(min(col("v")).over(Window.partitionBy("u")),
+          col("u")))
+        .where(col("v") > col("u"))
+        .select(col("v").as("hi"), col("m").as("lo")) // hi > u >= m = lo
+      // small-star: u and all its (smaller, by orientation) neighbors
+      // link to the neighborhood minimum
+      val ssBase = ls.withColumn("m",
+        min(col("lo")).over(Window.partitionBy("hi")))
+      val ss = ssBase.select(col("lo").as("hi"), col("m").as("lo"))
+        .union(ssBase.select(col("hi"), col("m").as("lo")))
+        .where(col("hi") =!= col("lo"))
+        .distinct()
+      e = ss.localCheckpoint(true)
+      val cur = checksum(e)
+      converged = cur == prev
+      prev = cur
+      round += 1
+    }
+    require(converged,
+      s"connectedComponents: no convergence after $maxRounds rounds")
+    // converged edge set is a star forest rooted at component minima:
+    // every non-root carries exactly (id -> root); roots appear only as lo
+    val lbl = e.groupBy(col("hi").as("id")).agg(min("lo").as("comp"))
+    nodes.join(lbl, Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
+  }
+
+  /** Near-dup cluster assignment over the MinHash-LSH verified pair graph:
+    * (doc_id, cluster = min doc id of its component, csize). The corpus
+    * keeper rule on top is `doc_id == cluster`.
+    */
+  def dupClusters(docs: DataFrame, n: Int = 3,
+      threshold: Double = 0.7): DataFrame = {
+    val pairs = minhashLshPairs(docs, n, threshold).select("a", "b")
+    val cc = connectedComponents(pairs)
+    val sizes = cc.groupBy("comp").agg(count(lit(1)).as("csize"))
+    cc.join(sizes, Seq("comp"))
+      .select(col("id").as("doc_id"), col("comp").as("cluster"),
+        col("csize"))
+  }
+
   // --------------------------------------------------------------- SimHash
 
   /** 62-bit SimHash document fingerprint: per-token 31-bit polynomial hash

@@ -522,4 +522,82 @@ class PipelineSpec extends AnyFunSuite {
       }
     }
   }
+
+  /** Reference labels for connectedComponents: driver-side union-find. */
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    // roots are not guaranteed minimal by rank-free union order alone;
+    // normalize: label = min member per root
+    val members = parent.keys.toSeq.groupBy(find)
+    members.flatMap { case (_, ms) =>
+      val m = ms.min; ms.map(_ -> m)
+    }.toMap
+  }
+
+  private def ccCheck(edges: Seq[(Long, Long)], tag: String): Unit = {
+    import spark.implicits._
+    val got = PipelineOps.connectedComponents(
+        edges.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = unionFind(edges)
+    assert(got == want, s"$tag: got ${got.toSeq.sorted.take(20)} " +
+      s"want ${want.toSeq.sorted.take(20)}")
+  }
+
+  test("connectedComponents: large-star/small-star == union-find on " +
+    "adversarial shapes (chain, star, cliques, random, dups, self-loops)") {
+    // long path: worst case for naive propagation, log rounds here
+    ccCheck((0L until 40L).map(i => (i, i + 1)), "path-asc")
+    ccCheck((0L until 40L).map(i => (i + 1, i)).reverse, "path-desc")
+    // star centered at the LARGEST id (root must still be the min)
+    ccCheck((0L until 20L).map(i => (100L, i)), "star-high-center")
+    // two cliques bridged, plus an isolated pair
+    val k5a = for (i <- 0 until 5; j <- i + 1 until 5)
+      yield (i.toLong, j.toLong)
+    val k5b = for (i <- 10 until 15; j <- i + 1 until 15)
+      yield (i.toLong, j.toLong)
+    ccCheck(k5a ++ k5b ++ Seq((4L, 10L), (500L, 501L)), "cliques-bridge")
+    // duplicate and reversed edges, self-loops mixed in
+    ccCheck(Seq((3L, 7L), (7L, 3L), (3L, 7L), (5L, 5L), (7L, 9L)),
+      "dups-selfloops")
+    // seeded random graphs across densities
+    val rnd = new scala.util.Random(42)
+    for (n <- Seq(30, 120); m <- Seq(n / 2, n, 3 * n)) {
+      val es = Seq.fill(m)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      ccCheck(es, s"random-n$n-m$m")
+    }
+    // empty edge set converges to an empty labeling
+    import spark.implicits._
+    assert(PipelineOps.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("a", "b")).count() == 0)
+  }
+
+  test("dupClusters: every minhash pair lands in one cluster; labels are " +
+    "component minima; csize counts members") {
+    val cl = PipelineOps.dupClusters(docs, 3, 0.7).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val lbl = cl.map(c => c._1 -> c._2).toMap
+    val pairs = PipelineOps.minhashLshPairs(docs, 3, 0.7)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty) // fixture sanity: the corpus has near-dups
+    pairs.foreach { case (a, b) =>
+      assert(lbl(a) == lbl(b), s"pair ($a,$b) split across clusters")
+    }
+    // label = min member of its cluster; csize = member count
+    cl.groupBy(_._2).foreach { case (root, ms) =>
+      assert(ms.map(_._1).min == root, s"cluster $root not labeled by min")
+      assert(ms.forall(_._3 == ms.length), s"cluster $root csize wrong")
+    }
+    // and the labeling matches union-find over the pair graph exactly
+    assert(lbl == unionFind(pairs.toSeq), "cluster labeling != union-find")
+  }
 }
