@@ -715,6 +715,28 @@ object Queries {
        |  AND y >= ${QB._2} AND y <= ${QB._4}
        |ORDER BY id""".stripMargin
 
+  /** C4 ∘ C5 — incremental append into the PERSISTED index (the serving
+    * mutation path at 100 TB): the even-keyed half of the customer layer
+    * is built as generation 0 of the store, the odd half APPENDED as
+    * generation 1 (`IndexStore.append`: touched cells deserialize-merge-
+    * rebuild, untouched cells' bytes never move), and a range probe over
+    * the generational view must equal the same SQL over ALL points.
+    * Marker-idempotent across invocations like the other persisted
+    * queries; the store root is fingerprinted on the full table content.
+    */
+  def persistedAppend(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val all = points(load(spark, dir, "customer"), "c_custkey").as[PointRow]
+    val root = persistedRoot(spark, dir).replace("graft_pidx_v4_",
+      "graft_pidxa_v1_")
+    IndexStore.build(spark, all.filter(_.id % 2 == 0), grid, root)
+    IndexStore.append(spark, all.filter(_.id % 2 != 0), grid, root, gen = 1)
+    IndexStore.rangeQuery(spark, root, grid, QB._1, QB._2, QB._3, QB._4)
+      .orderBy("id")
+  }
+
+  val persistedAppendSql: String = persistedRangeSql
+
   // ------------------------------------------------ G5: envelope-of-group
 
   def envelopeAgg(spark: SparkSession, dir: String): DataFrame =

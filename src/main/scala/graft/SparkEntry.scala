@@ -36,6 +36,7 @@ object SparkEntry {
     "q_persisted_range" -> (Queries.persistedRange(_, _)),
     "q_persisted_knn" -> (Queries.persistedKnn(_, _)),
     "q_insert_append" -> (Queries.insertAppend(_, _)),
+    "q_persisted_append" -> (Queries.persistedAppend(_, _)),
     // training-data pipeline operators
     "q_dedup_exact" -> (PipelineQueries.dedupExact(_, _)),
     "q_embed_dup" -> (PipelineQueries.embedDup(_, _)),
@@ -93,6 +94,7 @@ object SparkEntry {
     "q_persisted_range" -> Queries.persistedRangeSql,
     "q_persisted_knn" -> Queries.knnJoinSql, // bit-equal to the in-memory kNN
     "q_insert_append" -> Queries.insertAppendSql,
+    "q_persisted_append" -> Queries.persistedAppendSql,
     // pipeline oracles — every query carries one: the hash-based scale
     // paths run on OracleHash arithmetic with generated SQL twins
     "q_dedup_exact" -> PipelineQueries.dedupExactSql,

@@ -64,13 +64,100 @@ object IndexStore {
     })
   }
 
-  /** The stored index table (all committed groups). */
-  def table(spark: SparkSession, root: String): DataFrame = {
+  /** Committed generations under `root`, oldest first: generation 0 is the
+    * base `trees` stage, appends land as `trees_g<k>` (k ≥ 1). A stage
+    * counts only once it has ≥ 1 committed group marker.
+    */
+  private def generations(spark: SparkSession, root: String): Seq[(Int, String)] = {
     val cp = new Checkpoint(spark, root)
-    val groups = cp.completedGroups("trees")
-    require(groups.nonEmpty, s"no committed index groups under $root")
-    spark.read.parquet(
-      groups.toSeq.sorted.map(g => s"$root/trees/group=$g"): _*)
+    val d = new java.io.File(root)
+    val names =
+      if (!d.isDirectory) Array.empty[String]
+      else d.listFiles().filter(_.isDirectory).map(_.getName)
+        .filter(n => n == "trees" || n.matches("trees_g\\d+"))
+    names.toSeq
+      .map(n => (if (n == "trees") 0 else n.stripPrefix("trees_g").toInt, n))
+      .filter { case (_, n) => cp.completedGroups(n).nonEmpty }
+      .sortBy(_._1)
+  }
+
+  private def readStage(spark: SparkSession, root: String,
+      stage: String): DataFrame = {
+    val cp = new Checkpoint(spark, root)
+    spark.read.parquet(cp.completedGroups(stage).toSeq.sorted
+      .map(g => s"$root/$stage/group=$g"): _*)
+  }
+
+  /** The stored index table: latest generation wins per cell. An appended
+    * cell's generation-k tree already holds the cell's FULL point set (the
+    * append merged the prior tree before rebuilding), so the view is a
+    * plain last-writer-wins over ≤ 4^res rows per generation — untouched
+    * cells keep serving their original bytes, which never move (the
+    * LSM-style contract that makes appends O(touched cells), not
+    * O(store), at 100 TB). Single-generation stores skip the window.
+    */
+  def table(spark: SparkSession, root: String): DataFrame =
+    tableUpTo(spark, root, Int.MaxValue)
+
+  private def tableUpTo(spark: SparkSession, root: String,
+      maxGen: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gens = generations(spark, root).filter(_._1 <= maxGen)
+    require(gens.nonEmpty, s"no committed index groups under $root")
+    if (gens.size == 1) readStage(spark, root, gens.head._2)
+    else {
+      val unioned = gens.map { case (g, stage) =>
+        readStage(spark, root, stage).withColumn("gen", lit(g))
+      }.reduce(_.unionByName(_))
+      val w = Window.partitionBy("cell").orderBy(col("gen").desc)
+      unioned.withColumn("rk", row_number().over(w))
+        .where(col("rk") === 1)
+        .select("cell", "n", "tree")
+    }
+  }
+
+  /** C4 over the PERSISTED index — incremental append without touching
+    * untouched cells: the new batch's cells are merged with their stored
+    * trees (deserialize, concat point arrays, rebuild at bulk rate) and
+    * committed as generation `gen`; every other cell's bytes stay exactly
+    * where they are and keep serving. Group-committed through Checkpoint
+    * like the base build, so a killed append resumes and a re-invocation
+    * with the same `gen` is a no-op (marker-idempotent).
+    *
+    * Reference analog: bulk-then-insert (rstar/src/rtree.rs:1307-1371) —
+    * here the insert unit is the cell, and the rebuilt cell tree is the
+    * same packed STR structure the base build produces, so probe paths
+    * are generation-oblivious.
+    */
+  def append(spark: SparkSession, points: Dataset[PointRow], grid: CellGrid,
+      root: String, gen: Int, nGroups: Int = 8): DataFrame = {
+    require(gen >= 1, s"append generations start at 1, got $gen")
+    import spark.implicits._
+    val cp = new Checkpoint(spark, root)
+    val base = tableUpTo(spark, root, gen - 1)
+    val celled = points.map(p => (grid.cellId(p.x, p.y), p))
+    cp.runStage(s"trees_g$gen", nGroups, { g =>
+      val newCells = celled.filter(_._1 % nGroups == g)
+        .groupByKey(_._1)
+        .mapGroups { (cell, it) =>
+          val arr = it.map(_._2).toArray
+          (cell, arr.map(_.id), arr.map(_.x), arr.map(_.y))
+        }
+        .toDF("cell", "ids", "xs", "ys")
+      newCells.join(base.select(col("cell"), col("tree")), Seq("cell"), "left")
+        .select(col("cell"), col("ids"), col("xs"), col("ys"), col("tree"))
+        .as[(Long, Array[Long], Array[Double], Array[Double], Array[Byte])]
+        .map { case (cell, ids, xs, ys, old) =>
+          val (oi, ox, oy) =
+            if (old == null)
+              (Array.empty[Long], Array.empty[Double], Array.empty[Double])
+            else { val t = treeFrom(old); (t.ids, t.xs, t.ys) }
+          val tree = PointRTree2D.build(oi ++ ids, ox ++ xs, oy ++ ys)
+          (cell, (oi.length + ids.length).toLong, treeBytes(tree))
+        }
+        .toDF("cell", "n", "tree")
+    })
+    table(spark, root)
   }
 
   /** F1 over the persisted index: prune the cell table to the query box's

@@ -188,4 +188,83 @@ class CheckpointSpec extends AnyFunSuite {
     assert(row(0).getAs[Long]("rows") == 10L,
       "migration must order old rows by instant, not ISO string or attempt")
   }
+
+  test("generational append: probes equal a from-scratch build over the " +
+    "union; untouched cells' bytes never move; appends stack and resume") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    import graft.engine.{IndexStore, PointRow, QueryRow}
+    val grid = CellGrid.lonLat(4)
+    def pts(lo: Long, hi: Long) = spark.range(lo, hi).map { id =>
+      PointRow(id,
+        PagesGen.uniform(id, 1) * 360.0 - 180.0,
+        PagesGen.uniform(id, 2) * 170.0 - 85.0)
+    }
+    // base = ids [0, 4000); append 1 = [4000, 4700) (mixed old/new cells);
+    // append 2 = [4700, 5000)
+    val rootA = java.nio.file.Files.createTempDirectory("graft_idxa").toString
+    val rootF = java.nio.file.Files.createTempDirectory("graft_idxf").toString
+    IndexStore.build(spark, pts(0, 4000), grid, rootA, nGroups = 6)
+    // fingerprint every base data file before the appends
+    def fileSnap(root: String): Map[String, Long] = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(root, "trees"))
+        .iterator().asScala.filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .map(p => p.toString -> java.nio.file.Files.getLastModifiedTime(p).toMillis)
+        .toMap
+    }
+    val before = fileSnap(rootA)
+    IndexStore.append(spark, pts(4000, 4700), grid, rootA, gen = 1, nGroups = 6)
+    IndexStore.append(spark, pts(4700, 5000), grid, rootA, gen = 2, nGroups = 6)
+    assert(fileSnap(rootA) == before,
+      "append must not rewrite any generation-0 data file")
+    // the generation-1 stage holds exactly the touched cells
+    val touched1 = pts(4000, 4700).collect()
+      .map(p => grid.cellId(p.x, p.y)).toSet
+    val g1Cells = spark.read.parquet(
+        (0 until 6).map(g => s"$rootA/trees_g1/group=$g"): _*)
+      .select("cell").collect().map(_.getLong(0)).toSet
+    assert(g1Cells == touched1, "gen-1 stage must hold touched cells only")
+
+    // probes through the generational view == from-scratch build over all
+    IndexStore.build(spark, pts(0, 5000), grid, rootF, nGroups = 6)
+    val (bx0, by0, bx1, by1) = (-170.0, -80.0, 170.0, 80.0)
+    def rq(root: String) =
+      IndexStore.rangeQuery(spark, root, grid, bx0, by0, bx1, by1)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+        .toSet
+    assert(rq(rootA) == rq(rootF))
+    assert(rq(rootA).nonEmpty)
+    val qs = spark.range(40).map(i =>
+      QueryRow(i, PagesGen.uniform(i + 77, 3) * 300.0 - 150.0,
+        PagesGen.uniform(i + 77, 4) * 150.0 - 75.0))
+    def knn(root: String) =
+      IndexStore.knnQuery(spark, root, grid, qs, 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getInt(3))).toSet
+    assert(knn(rootA) == knn(rootF),
+      "kNN through generations must be bit-equal to the flat store")
+
+    // marker idempotence: re-appending the same generation recomputes
+    // nothing and changes nothing
+    val snapAll = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(rootA))
+        .iterator().asScala.map(_.toString).toSet
+    }
+    IndexStore.append(spark, pts(4000, 4700), grid, rootA, gen = 1, nGroups = 6)
+    val snapAll2 = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(rootA))
+        .iterator().asScala.map(_.toString).toSet
+    }
+    assert(snapAll2 == snapAll)
+
+    // kill/resume inside an append: drop one committed gen-2 group; the
+    // re-run recomputes only that group and the view converges again
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(rootA, "trees_g2", "_done_2"))
+    IndexStore.append(spark, pts(4700, 5000), grid, rootA, gen = 2, nGroups = 6)
+    assert(rq(rootA) == rq(rootF))
+  }
 }
