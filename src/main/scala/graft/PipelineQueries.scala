@@ -173,6 +173,38 @@ object PipelineQueries {
        |FROM comp c JOIN sz s ON s.cluster = c.cluster
        |ORDER BY doc_id""".stripMargin
 
+  /** North-star seam as a driver hard signal: geo-entities EXTRACTED FROM
+    * TEXT (gazetteer mentions over the token stream), geocoded by exact
+    * integer arithmetic, and assigned to grid tiles — the text→entity→tile
+    * path the bench headline runs on pages (`PagesGen.entities` is the
+    * regex-marker sibling), here over the documents table with a full
+    * DuckDB twin.
+    */
+  def entityCells(spark: SparkSession, dir: String): DataFrame =
+    PipelineOps.entityCells(docs(spark, dir), Queries.grid)
+      .select(col("cell"), col("entity"), col("x"), col("y"),
+        col("mentions"), col("docs").cast("long").as("docs"))
+      .orderBy("cell", "entity")
+
+  val entityCellsSql: String = {
+    val gaz = PipelineOps.defaultGazetteer
+      .map(w => s"'$w'").mkString("(", ", ", ")")
+    val ph = OracleHash.polyHash31Sql("entity")
+    val hx = OracleHash.affineSql(ph, OracleHash.permA(70), OracleHash.permB(70))
+    val hy = OracleHash.affineSql(ph, OracleHash.permA(71), OracleHash.permB(71))
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       |             FROM documents),
+       |m AS (SELECT doc_id, w AS entity FROM tok WHERE w IN $gaz),
+       |g AS (SELECT entity, COUNT(*) AS mentions,
+       |  COUNT(DISTINCT doc_id) AS docs FROM m GROUP BY entity),
+       |geo AS (SELECT entity, mentions, docs,
+       |  ($hx % 3600000) / 10000.0 - 180.0 AS x,
+       |  ($hy % 1700000) / 10000.0 - 85.0 AS y FROM g)
+       |SELECT ${Queries.cellSql("x", "y")} AS cell, entity, x, y,
+       |  mentions, docs
+       |FROM geo ORDER BY cell, entity""".stripMargin
+  }
+
   def simhash(spark: SparkSession, dir: String): DataFrame =
     PipelineOps.simhash(docs(spark, dir)).orderBy("doc_id")
 

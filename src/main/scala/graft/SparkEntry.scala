@@ -49,6 +49,7 @@ object SparkEntry {
     "q_token_stats" -> (PipelineQueries.tokenStats(_, _)),
     "q_text_quality" -> (PipelineQueries.textQuality(_, _)),
     "q_lang_id" -> (PipelineQueries.langId(_, _)),
+    "q_entity_cells" -> (PipelineQueries.entityCells(_, _)),
     "q_ann_topk" -> (PipelineQueries.annTopK(_, _)),
     "q_ann_ivf" -> (PipelineQueries.annIvf(_, _)),
     "q_ann_lsh_topk" -> (PipelineQueries.annLshTopK(_, _)),
@@ -105,6 +106,7 @@ object SparkEntry {
     "q_simhash" -> PipelineQueries.simhashSql,
     "q_clean_corpus" -> PipelineQueries.cleanCorpusSql,
     "q_lang_id" -> PipelineQueries.langIdSql,
+    "q_entity_cells" -> PipelineQueries.entityCellsSql,
     "q_fingerprints" -> PipelineQueries.fingerprintsSql,
     "q_token_stats" -> PipelineQueries.tokenStatsSql,
     "q_text_quality" -> PipelineQueries.textQualitySql,

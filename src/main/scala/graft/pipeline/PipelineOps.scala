@@ -332,6 +332,50 @@ object PipelineOps {
         col("csize"))
   }
 
+  // ----------------------------------- geo-entity extraction (gazetteer)
+
+  /** The default place-name gazetteer for [[entityCells]] — a fixed
+    * dictionary, the standard mode for geo-entity linking (regex markers
+    * are the other mode: `data/PagesGen.entities` parses `@geo(lat,lon)`
+    * spans for the bench's pages table).
+    */
+  val defaultGazetteer: Seq[String] = Seq(
+    "customer", "join", "query", "spark", "stream", "table", "vector",
+    "window")
+
+  /** Text → geo-entities → tiles, end-to-end: extract gazetteer mentions
+    * from the token stream, geocode each entity deterministically (31-bit
+    * polynomial hash fanned to two affine permutations, floor-scaled to
+    * lon/lat — integer arithmetic with an exact SQL twin), and aggregate
+    * mention/document counts per (cell, entity). One shuffle (the
+    * groupBy); the geocode runs AFTER aggregation so it costs O(distinct
+    * entities), not O(mentions). At 100 TB the gazetteer is a broadcast
+    * `isin` filter pushed into the codegen'd token scan — mentions of
+    * unknown words never leave the map side.
+    */
+  def entityCells(docs: DataFrame, grid: graft.index.CellGrid,
+      gazetteer: Seq[String] = defaultGazetteer): DataFrame = {
+    import graft.functions.OracleHash._
+    docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .where(col("w").isin(gazetteer: _*))
+      .groupBy(col("w").as("entity"))
+      .agg(count(lit(1)).as("mentions"),
+        count_distinct(col("doc_id")).as("docs"))
+      .withColumn("hx", affine(polyHash31(col("entity")),
+        permA(70), permB(70)))
+      .withColumn("hy", affine(polyHash31(col("entity")),
+        permA(71), permB(71)))
+      .withColumn("x", (col("hx") % lit(3600000L)) / lit(10000.0)
+        - lit(180.0))
+      .withColumn("y", (col("hy") % lit(1700000L)) / lit(10000.0)
+        - lit(85.0))
+      .withColumn("cell",
+        graft.functions.SpatialFunctions.stCell(grid)(col("x"), col("y")))
+      .select(col("cell"), col("entity"), col("x"), col("y"),
+        col("mentions"), col("docs"))
+  }
+
   // --------------------------------------------------------------- SimHash
 
   /** 62-bit SimHash document fingerprint: per-token 31-bit polynomial hash

@@ -600,4 +600,36 @@ class PipelineSpec extends AnyFunSuite {
     // and the labeling matches union-find over the pair graph exactly
     assert(lbl == unionFind(pairs.toSeq), "cluster labeling != union-find")
   }
+
+  test("entityCells: gazetteer mention/doc counts match a brute token " +
+    "scan; geocodes land in-domain and cells agree with the grid") {
+    val grid = graft.index.CellGrid.lonLat(4)
+    val rows = PipelineOps.entityCells(docs, grid).collect()
+    // brute-force reference counts from the raw text
+    val raw = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val gaz = PipelineOps.defaultGazetteer.toSet
+    val wantMentions = scala.collection.mutable.Map.empty[String, Long]
+    val wantDocs = scala.collection.mutable.Map.empty[String, Set[Long]]
+    raw.foreach { case (id, text) =>
+      text.split(" ").foreach { w =>
+        if (gaz.contains(w)) {
+          wantMentions(w) = wantMentions.getOrElse(w, 0L) + 1
+          wantDocs(w) = wantDocs.getOrElse(w, Set.empty) + id
+        }
+      }
+    }
+    assert(rows.nonEmpty && rows.length == wantMentions.size)
+    rows.foreach { r =>
+      val (cell, entity, x, y) =
+        (r.getLong(0), r.getString(1), r.getDouble(2), r.getDouble(3))
+      assert(r.getLong(4) == wantMentions(entity), s"mentions($entity)")
+      assert(r.getLong(5) == wantDocs(entity).size.toLong, s"docs($entity)")
+      assert(x >= -180.0 && x < 180.0 && y >= -85.0 && y < 85.0)
+      assert(cell == grid.cellId(x, y), s"cell($entity)")
+    }
+    // distinct entities geocode to distinct locations (hash spread)
+    assert(rows.map(r => (r.getDouble(2), r.getDouble(3))).distinct.length
+      == rows.length)
+  }
 }
