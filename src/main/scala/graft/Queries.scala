@@ -170,6 +170,39 @@ object Queries {
        |WHERE $pipPredSql
        |ORDER BY p.id, pid""".stripMargin
 
+  /** PIP join over VARIABLE-vertex polygons (3..10 vertices, vertex
+    * arrays): the general ray-cast (stPointInPolygonN) through the same
+    * cell-cover join; the octagon query (q_pip_join) is the unrolled
+    * codegen fast path of the same predicate family.
+    */
+  def pipPolyQ(spark: SparkSession, dir: String): DataFrame =
+    SpatialOps.pipJoinPoly(
+      points(load(spark, dir, "customer"), "c_custkey"),
+      polygonsN(load(spark, dir, "part"), "p_partkey"),
+      grid)
+      .orderBy("id", "pid")
+
+  /** SQL twin of stPointInPolygonN for aliases `p` (x, y) and `g` (k,
+    * pxs, pys): integer crossing sum over the 1-based index list — the
+    * fold order is parity-irrelevant, the division textually mirrors the
+    * Spark lambda.
+    */
+  private val pipPolyPredSql: String = {
+    val j = "(CASE WHEN i = 1 THEN g.k ELSE i - 1 END)"
+    s"""list_sum(list_transform(range(1, g.k + 1), i ->
+       |  CASE WHEN ((g.pys[i] > p.y) <> (g.pys[$j] > p.y))
+       |    AND (p.x < (g.pxs[$j] - g.pxs[i]) * (p.y - g.pys[i])
+       |               / (g.pys[$j] - g.pys[i]) + g.pxs[i])
+       |  THEN 1 ELSE 0 END)) % 2 = 1""".stripMargin
+  }
+
+  val pipPolySql: String =
+    s"""WITH p AS (${pointsSql("customer", "c_custkey")}),
+       |g AS (${polygonsNSql("part", "p_partkey")})
+       |SELECT p.id, g.id AS pid FROM p CROSS JOIN g
+       |WHERE $pipPolyPredSql
+       |ORDER BY p.id, pid""".stripMargin
+
   // ------------------------------------------------------- F1: contained
 
   def rangeContained(spark: SparkSession, dir: String): DataFrame =

@@ -57,6 +57,7 @@ object SparkEntry {
     "q_ann_lsh" -> (PipelineQueries.annLsh(_, _)),
     "q_events_window" -> (PipelineQueries.eventsWindow(_, _)),
     "q_pip_join" -> (Queries.pipJoinQ(_, _)),
+    "q_pip_poly" -> (Queries.pipPolyQ(_, _)),
     "q_rasterize" -> (Queries.rasterizeQ(_, _)),
     "q_zonal_stats" -> (Queries.zonalStatsQ(_, _)),
     "q_knn_rects" -> (Queries.knnRects(_, _)),
@@ -117,6 +118,7 @@ object SparkEntry {
     "q_ann_lsh" -> PipelineQueries.annLshSql,
     "q_events_window" -> PipelineQueries.eventsWindowSql,
     "q_pip_join" -> Queries.pipJoinSql,
+    "q_pip_poly" -> Queries.pipPolySql,
     "q_rasterize" -> Queries.rasterizeSql,
     "q_zonal_stats" -> Queries.zonalStatsSql,
     "q_knn_rects" -> Queries.knnRectsSql,

@@ -132,4 +132,68 @@ object TpchGeo {
     }
     s"SELECT $key AS id, ${cols.mkString(",\n  ")} FROM $table"
   }
+
+  // --------------------------------- variable-vertex polygon layer (PIP)
+
+  /** Unit k-gon vertex offsets for k = 3..10 — cos/sin of 2πi/k + θ0
+    * computed ONCE in Scala and baked as exact double literals into both
+    * plans (the octagon pattern generalized). The small per-k rotation
+    * θ0 = 0.5/k guarantees NO horizontal edge (consecutive uy always
+    * differ, checked below), so the ray-cast crossing division can never
+    * see a zero denominator in either engine regardless of conjunct
+    * evaluation order.
+    */
+  val polyNUnit: Map[Int, (Array[Double], Array[Double])] =
+    (3 to 10).map { k =>
+      val th0 = 0.5 / k
+      val ux = Array.tabulate(k)(i => math.cos(2.0 * math.Pi * i / k + th0))
+      val uy = Array.tabulate(k)(i => math.sin(2.0 * math.Pi * i / k + th0))
+      (0 until k).foreach { i =>
+        val j = (i + k - 1) % k
+        require(math.abs(uy(i) - uy(j)) > 1e-9,
+          s"horizontal edge in unit $k-gon")
+      }
+      k -> (ux, uy)
+    }.toMap
+
+  /** Variable-vertex polygon layer: k = key % 8 + 3 vertices (3..10),
+    * center/radii from the shared point/rect arithmetic, vertex ARRAYS
+    * (pxs, pys) instead of scalar columns — the general shape a real
+    * polygon layer has. Columns: id, k, pxs, pys.
+    */
+  def polygonsN(df: DataFrame, key: String): DataFrame = {
+    val kcol = col(key)
+    val cx = px(kcol); val cy = py(kcol)
+    val rx = rW(kcol) + lit(0.01); val ry = rH(kcol) + lit(0.01)
+    val k = (kcol.cast("long") % 8 + 3).cast("int")
+    def vertArr(unit: Int => Array[Double], c: Column, r: Column) = {
+      val branches = (3 to 10).map { kk =>
+        kk -> array(unit(kk).map(o => c + r * lit(o)): _*)
+      }
+      branches.tail.foldLeft(when(k === branches.head._1, branches.head._2)) {
+        case (acc, (kk, arr)) => acc.when(k === kk, arr)
+      }
+    }
+    df.select(kcol.as("id"), k.as("k"),
+      vertArr(kk => polyNUnit(kk)._1, cx, rx).as("pxs"),
+      vertArr(kk => polyNUnit(kk)._2, cy, ry).as("pys"))
+  }
+
+  /** SQL twin of [[polygonsN]]. */
+  def polygonsNSql(table: String, key: String): String = {
+    import graft.functions.OracleHash.dbl
+    val cx = pxSql(key); val cy = pySql(key)
+    val rx = s"(${rWSql(key)} + 0.01)"; val ry = s"(${rHSql(key)} + 0.01)"
+    def vertCase(unit: Int => Array[Double], c: String, r: String) = {
+      val branches = (3 to 10).map { kk =>
+        val elems = unit(kk).map(o => s"$c + $r * ${dbl(o)}").mkString(", ")
+        s"WHEN $kk THEN [$elems]"
+      }.mkString("\n    ")
+      s"CASE (CAST($key AS BIGINT) % 8 + 3)\n    $branches END"
+    }
+    s"""SELECT $key AS id, CAST(CAST($key AS BIGINT) % 8 + 3 AS INT) AS k,
+       |  ${vertCase(kk => polyNUnit(kk)._1, cx, rx)} AS pxs,
+       |  ${vertCase(kk => polyNUnit(kk)._2, cy, ry)} AS pys
+       |FROM $table""".stripMargin
+  }
 }

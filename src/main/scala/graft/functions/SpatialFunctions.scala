@@ -128,6 +128,73 @@ object SpatialFunctions {
     crossings.reduce(_ + _) % 2 === 1
   }
 
+  /** General n-vertex ray-cast point-in-polygon over vertex ARRAY columns
+    * (the [[stPointInPolygon8]] predicate without the fixed-arity
+    * unrolling): crossings = integer fold over the 1-based vertex index
+    * sequence, predecessor of vertex 1 wrapping to n. The crossing sum is
+    * an integer, so the fold order is parity-irrelevant and the DuckDB
+    * twin may use any list sum. Layers must have no horizontal edges
+    * (TpchGeo.polyNUnit guarantees it by construction) so the division
+    * never sees a zero denominator under either engine's conjunct
+    * evaluation. HOF lambdas are CodegenFallback — the predicate runs
+    * only on cell-cohabiting pairs, where generality is worth the
+    * interpreted eval (the octagon fast path stays fully unrolled).
+    */
+  def stPointInPolygonN(pxs: Column, pys: Column, qx: Column, qy: Column,
+      maxVerts: Int = 10): Column = {
+    val n = size(pxs)
+    // unrolled to maxVerts with lazy i<=n guards instead of a HOF fold:
+    // aggregate()/transform() lambdas are CodegenFallback, which dropped
+    // the whole candidate-pair Project out of whole-stage codegen (8.3 s
+    // -> 1.3 s at sf0.1 for q_pip_poly). CaseWhen branches are lazy in
+    // codegen, so out-of-range element_at is never evaluated (ANSI-safe);
+    // the crossing sum is an integer, so the term order is
+    // parity-irrelevant and the SQL twin may keep its list fold.
+    val terms = (1 to maxVerts).map { i =>
+      val iC = lit(i)
+      val j: Column = if (i == 1) n else lit(i - 1)
+      val xi = element_at(pxs, iC); val yi = element_at(pys, iC)
+      val xj = element_at(pxs, j); val yj = element_at(pys, j)
+      val cond = (yi > qy) =!= (yj > qy)
+      val xCross = (xj - xi) * (qy - yi) / (yj - yi) + xi
+      when(iC <= n, when(cond && qx < xCross, 1).otherwise(0)).otherwise(0)
+    }
+    // layers beyond the unroll bound would silently undercount — refuse
+    when(n > maxVerts,
+      raise_error(concat(lit(s"stPointInPolygonN: > $maxVerts vertices: "),
+        n.cast("string"))).cast("boolean"))
+      .otherwise(terms.reduce(_ + _) % 2 === 1)
+  }
+
+  /** [[stPointInPolygonN]] over FLATTENED vertex columns (vx1..vxM /
+    * vy1..vyM, null-padded past k) — the hot-join form: the array is
+    * unpacked ONCE on the (small) polygon side, so the per-candidate-pair
+    * work is flat double reads exactly like the unrolled octagon
+    * predicate, not M ANSI array accesses per pair (23× on q_pip_poly).
+    * Edges are (i, i-1) for i = 2..k plus the closing edge (1, k); the
+    * k-th vertex is selected by a tiny CASE over the legal k range.
+    */
+  def stPointInPolygonFlat(k: Column, vxs: Seq[Column], vys: Seq[Column],
+      qx: Column, qy: Column): Column = {
+    val m = vxs.length
+    def crossing(xi: Column, yi: Column, xj: Column, yj: Column): Column = {
+      val cond = (yi > qy) =!= (yj > qy)
+      val xCross = (xj - xi) * (qy - yi) / (yj - yi) + xi
+      when(cond && qx < xCross, 1).otherwise(0)
+    }
+    def lastOf(vs: Seq[Column]): Column =
+      (4 to m).foldLeft(when(k === 3, vs(2))) { (acc, kk) =>
+        acc.when(k === kk, vs(kk - 1))
+      }
+    val closing = crossing(vxs.head, vys.head, lastOf(vxs), lastOf(vys))
+    val rest = (2 to m).map { i =>
+      when(lit(i) <= k,
+        crossing(vxs(i - 1), vys(i - 1), vxs(i - 2), vys(i - 2)))
+        .otherwise(0)
+    }
+    (closing +: rest).reduce(_ + _) % 2 === 1
+  }
+
   /** Reference-point de-duplication predicate for exploded spatial joins:
     * a pair is emitted only in the cell containing the lower corner of the
     * intersection box (SURVEY.md §7.4), so multi-cell overlaps appear

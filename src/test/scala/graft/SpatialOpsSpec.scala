@@ -440,6 +440,62 @@ class SpatialOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("pipJoinPoly (variable-vertex polygons): grid join == brute-force " +
+    "crossJoin; array predicate == JVM PNPOLY across all vertex counts") {
+    val s = sc
+    import s.implicits._
+    import graft.functions.SpatialFunctions.stPointInPolygonN
+    val polys = TpchGeo.polygonsN(
+      s.range(1, 800).toDF("p_partkey"), "p_partkey").localCheckpoint(true)
+    // the layer really carries every vertex count 3..10
+    assert(polys.select("k").distinct().collect().map(_.getInt(0)).sorted
+      .toSeq == (3 to 10))
+    val pts = points(2000, 15000).toDF().localCheckpoint(true)
+    val got = SpatialOps.pipJoinPoly(pts, polys, grid)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = pts.crossJoin(polys.withColumnRenamed("id", "pid"))
+      .where(stPointInPolygonN(col("pxs"), col("pys"), col("x"), col("y")))
+      .select("id", "pid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+    assert(want.nonEmpty)
+    // the HOF predicate agrees with a JVM crossing loop on the same
+    // doubles, for every vertex count
+    val rows = polys.collect()
+    assert((3 to 10).forall(k => rows.exists(_.getInt(1) == k)))
+    val wantSet = want
+    val ptRows = pts.collect()
+      .map(pr => (pr.getLong(0), pr.getDouble(1), pr.getDouble(2)))
+    rows.take(120).foreach { r =>
+      val pid = r.getLong(0)
+      val xs = r.getSeq[Double](2).toArray
+      val ys = r.getSeq[Double](3).toArray
+      val n = xs.length
+      assert(n == r.getInt(1))
+      def pnpoly(qx: Double, qy: Double): Boolean = {
+        var inside = false
+        var i = 0
+        while (i < n) {
+          val j = (i + n - 1) % n
+          if ((ys(i) > qy) != (ys(j) > qy) &&
+            qx < (xs(j) - xs(i)) * (qy - ys(i)) / (ys(j) - ys(i)) + xs(i))
+            inside = !inside
+          i += 1
+        }
+        inside
+      }
+      val cx = xs.sum / n; val cy = ys.sum / n
+      assert(pnpoly(cx, cy), s"centroid must be inside its $n-gon")
+      assert(!pnpoly(cx + 25.0, cy))
+      // brute JVM join membership agrees with the Spark join for this
+      // polygon against every test point
+      ptRows.foreach { case (id, x, y) =>
+        assert(pnpoly(x, y) == wantSet.contains((id, pid)),
+          s"JVM/Spark disagree on point $id vs poly $pid")
+      }
+    }
+  }
+
   test("raster <-> vector: rasterize preserves totals; zonalStats (cell " +
     "equi-join, center rule) == brute-force raster x zones join") {
     val s = sc
