@@ -720,6 +720,57 @@ object PipelineQueries {
        |ORDER BY win_start, cell""".stripMargin
   }
 
+  /** FOURTH streaming hard signal — the serving loop end-to-end: customer
+    * points stream in two REAL micro-batches into the persisted
+    * generational index (`StreamOps.indexSink`: batch 0 bulk-builds,
+    * batch 1 appends as generation 1), and the answer is served from the
+    * STORE by `IndexStore.rangeQuery` — so a green row certifies
+    * stream-driven index maintenance (ingest → index → serve), not just
+    * stream transforms. The DuckDB twin is the all-points range query.
+    */
+  def streamIndex(spark: SparkSession, dir: String): DataFrame = {
+    val tag = s"qsi_${System.nanoTime()}"
+    val inDir = java.nio.file.Files.createTempDirectory(tag).toString
+    val ckpt = java.nio.file.Files.createTempDirectory(s"${tag}_c").toString
+    val root = java.nio.file.Files.createTempDirectory(s"${tag}_r").toString
+    val pts = TpchGeo.points(load(spark, dir, "customer"), "c_custkey")
+    pts.where(col("id") % 2 === 0).write.mode("overwrite").parquet(inDir)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("x",
+        org.apache.spark.sql.types.DoubleType, nullable = false),
+      org.apache.spark.sql.types.StructField("y",
+        org.apache.spark.sql.types.DoubleType, nullable = false)))
+    var q: org.apache.spark.sql.streaming.StreamingQuery = null
+    try {
+      // nGroups = 2: group count is the kill/resume granularity knob, and
+      // this harness rebuilds a FRESH store per invocation — 16 sequential
+      // group commits (8 build + 8 append) were pure per-job overhead here
+      q = graft.streaming.StreamOps.indexSink(
+          spark.readStream.schema(schema).parquet(inDir),
+          Queries.grid, root, nGroups = 2)
+        .option("checkpointLocation", ckpt)
+        .start()
+      q.processAllAvailable() // micro-batch 0: bulk-build the base store
+      pts.where(col("id") % 2 =!= 0).write.mode("append").parquet(inDir)
+      q.processAllAvailable() // micro-batch 1: generational append
+      q.stop()
+      // serve from the STORE (generational view), not from the stream
+      val out = graft.engine.IndexStore.rangeQuery(spark, root, Queries.grid,
+        Queries.QB._1, Queries.QB._2, Queries.QB._3, Queries.QB._4)
+        .orderBy("id")
+      val rows = out.collect().toSeq
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), out.schema)
+    } finally {
+      if (q != null && q.isActive) q.stop()
+      rmrfTemp(inDir); rmrfTemp(ckpt); rmrfTemp(root)
+    }
+  }
+
+  val streamIndexSql: String = Queries.persistedRangeSql
+
   val streamDedupSql: String =
     """SELECT md5(text) AS h, CAST(MIN(doc_id) AS BIGINT) AS keeper,
       | CAST(MIN(LENGTH(text)) AS BIGINT) AS n_chars

@@ -69,7 +69,8 @@ object SparkEntry {
     "q_media_formats" -> (PipelineQueries.mediaFormats(_, _)),
     "q_stream_dedup" -> (PipelineQueries.streamDedup(_, _)),
     "q_stream_tile" -> (PipelineQueries.streamTileJoin(_, _)),
-    "q_stream_window" -> (PipelineQueries.streamWindow(_, _))
+    "q_stream_window" -> (PipelineQueries.streamWindow(_, _)),
+    "q_stream_index" -> (PipelineQueries.streamIndex(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -130,6 +131,7 @@ object SparkEntry {
     "q_media_formats" -> PipelineQueries.mediaFormatsSql,
     "q_stream_dedup" -> PipelineQueries.streamDedupSql,
     "q_stream_tile" -> PipelineQueries.streamTileJoinSql,
-    "q_stream_window" -> PipelineQueries.streamWindowSql
+    "q_stream_window" -> PipelineQueries.streamWindowSql,
+    "q_stream_index" -> PipelineQueries.streamIndexSql
   )
 }

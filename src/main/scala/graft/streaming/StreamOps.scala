@@ -191,4 +191,34 @@ object StreamOps {
         max("x").as("max_x"), max("y").as("max_y"))
       .select(col("w.start").as("win_start"), col("cell"), col("cnt"),
         col("min_x"), col("min_y"), col("max_x"), col("max_y"))
+
+  /** STREAMING INDEX MAINTENANCE — the full serving loop (ingest → index
+    * → serve): every micro-batch of an (id, x, y) point stream is
+    * committed into the PERSISTED generational index at `root` via
+    * `foreachBatch` — batch 0 bulk-builds the base store, batch k ≥ 1
+    * runs [[graft.engine.IndexStore.append]] as generation k (touched
+    * cells merge-rebuild, untouched bytes never move). Queries serve from
+    * the store between and during batches with zero rebuild.
+    *
+    * Exactly-once across failures comes from composing the two engines'
+    * contracts: Structured Streaming replays an uncommitted micro-batch
+    * with the SAME batchId, and a generation commit is marker-idempotent
+    * per group (Checkpoint), so a replayed batch re-runs only its
+    * uncommitted groups — the standard idempotent-sink pattern with the
+    * generation number as the batch fence.
+    */
+  def indexSink(points: DataFrame, grid: CellGrid, root: String,
+      nGroups: Int = 8): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    points.writeStream.foreachBatch { (df: DataFrame, batchId: Long) =>
+      val spark = df.sparkSession
+      import spark.implicits._
+      val pts = df.select(col("id"), col("x"), col("y"))
+        .as[graft.engine.PointRow]
+      if (batchId == 0L)
+        graft.engine.IndexStore.build(spark, pts, grid, root, nGroups)
+      else
+        graft.engine.IndexStore.append(spark, pts, grid, root,
+          gen = batchId.toInt, nGroups)
+      ()
+    }
 }

@@ -226,4 +226,45 @@ class StreamSpec extends AnyFunSuite {
     }
     rm(new java.io.File(dir)); rm(new java.io.File(ckpt))
   }
+
+  test("streaming index sink: two micro-batches build + append the " +
+    "persisted store; probes == a flat build over everything") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    import graft.engine.{IndexStore, PointRow}
+    val dir = java.nio.file.Files.createTempDirectory("graft_sidx").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sidx_c").toString
+    val root = java.nio.file.Files.createTempDirectory("graft_sidx_r").toString
+    val rootF = java.nio.file.Files.createTempDirectory("graft_sidx_f").toString
+    val grid = CellGrid.lonLat(4)
+    def pts(lo: Long, hi: Long) = spark.range(lo, hi).map { id =>
+      PointRow(id,
+        graft.data.PagesGen.uniform(id, 1) * 360.0 - 180.0,
+        graft.data.PagesGen.uniform(id, 2) * 170.0 - 85.0)
+    }
+    pts(0, 3000).toDF().write.mode("overwrite").parquet(dir)
+    val schema = pts(0, 1).toDF().schema
+    val q = StreamOps.indexSink(
+        spark.readStream.schema(schema).parquet(dir), grid, root, nGroups = 4)
+      .option("checkpointLocation", ckpt)
+      .start()
+    q.processAllAvailable() // batch 0: base build
+    pts(3000, 4000).toDF().write.mode("append").parquet(dir)
+    q.processAllAvailable() // batch 1: generational append
+    q.stop()
+    // generation 1 exists and the served view equals a flat build
+    assert(new java.io.File(s"$root/trees_g1").isDirectory,
+      "batch 1 must land as generation 1, not a rebuild")
+    IndexStore.build(spark, pts(0, 4000), grid, rootF, nGroups = 4)
+    def rq(r: String) = IndexStore.rangeQuery(spark, r, grid,
+        -170.0, -80.0, 170.0, 80.0)
+      .collect().map(x => (x.getLong(0), x.getDouble(1), x.getDouble(2)))
+      .toSet
+    assert(rq(root) == rq(rootF))
+    assert(rq(root).nonEmpty)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+    }
+    Seq(dir, ckpt, root, rootF).foreach(d => rm(new java.io.File(d)))
+  }
 }
