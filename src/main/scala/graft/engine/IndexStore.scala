@@ -276,6 +276,37 @@ object IndexStore {
       .select(col("qid"), col("id"), col("d2"), col("rn"))
   }
 
+  /** LSM COMPACTION for the generational store: materialize the
+    * last-writer-wins view as one new generation, then retire every older
+    * stage — probes go back to the single-generation fast path and disk
+    * holds one tree per cell again. Crash-safe by construction: the new
+    * generation commits group-by-group through Checkpoint BEFORE any old
+    * stage is deleted, and a compaction killed mid-way leaves a partial
+    * generation that the latest-wins view masks (its committed cells are
+    * identical to the view they were computed from); the next successful
+    * compaction subsumes and removes it. Correctness never depends on a
+    * compaction finishing — it is pure maintenance, exactly like an LSM
+    * level merge.
+    */
+  def compact(spark: SparkSession, root: String,
+      nGroups: Int = 8): DataFrame = {
+    val gens = generations(spark, root)
+    require(gens.nonEmpty, s"no committed index groups under $root")
+    if (gens.size == 1) return readStage(spark, root, gens.head._2)
+    val target = gens.last._1 + 1
+    val cur = table(spark, root)
+    val cp = new Checkpoint(spark, root)
+    cp.runStage(s"trees_g$target", nGroups, { g =>
+      cur.where(col("cell") % nGroups === g)
+    })
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    gens.foreach { case (_, stage) => rm(new java.io.File(s"$root/$stage")) }
+    table(spark, root)
+  }
+
   /** F4 over the persisted index: within-distance probe of the covered
     * disc's cells. Output: (id, d2).
     */

@@ -266,5 +266,47 @@ class CheckpointSpec extends AnyFunSuite {
       java.nio.file.Paths.get(rootA, "trees_g2", "_done_2"))
     IndexStore.append(spark, pts(4700, 5000), grid, rootA, gen = 2, nGroups = 6)
     assert(rq(rootA) == rq(rootF))
+
+    // LSM compaction: merges the three generations into one, retires the
+    // old stages, and leaves probes bit-identical
+    val preCompact = rq(rootA)
+    IndexStore.compact(spark, rootA, nGroups = 6)
+    val stages = new java.io.File(rootA).listFiles()
+      .filter(_.isDirectory).map(_.getName)
+      .filter(n => n == "trees" || n.startsWith("trees_g")).sorted.toSeq
+    assert(stages == Seq("trees_g3"),
+      s"compaction must leave exactly one generation, got $stages")
+    assert(rq(rootA) == preCompact)
+    val knnC = knn(rootA)
+    assert(knnC == knn(rootF), "kNN after compaction must be unchanged")
+
+    // compaction CRASH state: old generations intact + a PARTIAL target
+    // generation (a compaction dies before deleting old stages). Build it
+    // on a replica: base + append, then hand-commit a partial g2 holding
+    // only a slice of the latest view — exactly what committed groups of
+    // an interrupted compaction contain. The latest-wins view must mask
+    // it (its cells duplicate the view they were computed from), and the
+    // NEXT compaction must subsume everything into one stage.
+    val rootC = java.nio.file.Files.createTempDirectory("graft_idxc").toString
+    IndexStore.build(spark, pts(0, 4000), grid, rootC, nGroups = 6)
+    IndexStore.append(spark, pts(4000, 5000), grid, rootC, gen = 1, nGroups = 6)
+    val wantC = rq(rootC)
+    val partialSlice = IndexStore.table(spark, rootC)
+      .where(col("cell") % 6 === 0).collect()
+    val cpC = new Checkpoint(spark, rootC)
+    cpC.runStage("trees_g2", 1, { _ =>
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(partialSlice.toSeq, 1),
+        IndexStore.table(spark, rootC).schema)
+    })
+    assert(rq(rootC) == wantC,
+      "a partial compaction generation must be masked by latest-wins")
+    IndexStore.compact(spark, rootC, nGroups = 6)
+    val stagesC = new java.io.File(rootC).listFiles()
+      .filter(_.isDirectory).map(_.getName)
+      .filter(n => n == "trees" || n.startsWith("trees_g")).sorted.toSeq
+    assert(stagesC == Seq("trees_g3"),
+      s"recovery compaction must converge to one stage, got $stagesC")
+    assert(rq(rootC) == wantC)
   }
 }
