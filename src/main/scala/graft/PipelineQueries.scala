@@ -498,6 +498,36 @@ object PipelineQueries {
     MediaOps.decodeImages(MediaOps.pngTable(docs(spark, dir)))
       .toDF().orderBy("media_id")
 
+  /** REAL image resize, end-to-end: decode → 2×2 integer box filter →
+    * PNG re-encode → decode AGAIN for evidence. The oracle recomputes the
+    * pooled dims and the pooled-raster checksum arithmetically (floor
+    * channel averages over each 2×2 block of the deterministic pixel
+    * rule), so a green row certifies the whole
+    * decode-resize-reencode-decode loop pixel-exactly.
+    */
+  def mediaResize(spark: SparkSession, dir: String): DataFrame =
+    MediaOps.decodeImages(
+      MediaOps.resizeImages(MediaOps.pngTable(docs(spark, dir)), 2))
+      .toDF().orderBy("media_id")
+
+  val mediaResizeSql: String = {
+    def ch(a: Int, b: Int, idMul: Int): String = {
+      // floor-average over the 2x2 block of ((px*a + py*b + idMul*doc_id) % 256)
+      val terms = for (dx <- 0 to 1; dy <- 0 to 1)
+        yield s"((2*x+$dx)*$a + (2*y+$dy)*$b + $idMul*doc_id) % 256"
+      s"(${terms.mkString(" + ")}) // 4"
+    }
+    s"""WITH ids AS (SELECT doc_id, (8 + doc_id % 16) // 2 AS wo,
+       |                    (8 + doc_id % 12) // 2 AS ho FROM documents),
+       |xs AS (SELECT doc_id, wo, ho, unnest(range(0, wo)) AS x FROM ids),
+       |px AS (SELECT doc_id, wo, ho, x, unnest(range(0, ho)) AS y FROM xs)
+       |SELECT doc_id AS media_id, CAST(wo AS BIGINT) AS width,
+       | CAST(ho AS BIGINT) AS height,
+       | CAST(SUM(${ch(7, 13, 1)} + ${ch(3, 5, 2)} + ${ch(11, 2, 3)})
+       |   AS BIGINT) AS pix_sum
+       |FROM px GROUP BY doc_id, wo, ho ORDER BY media_id""".stripMargin
+  }
+
   /** STREAMING exact dedup, end-to-end as a driver-oracle hard signal: the
     * documents table is replayed through the REAL Structured Streaming
     * path (`StreamOps.dedupStreamDocs` — file source, two micro-batches,

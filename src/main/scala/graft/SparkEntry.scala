@@ -67,6 +67,7 @@ object SparkEntry {
     "q_media_audio" -> (PipelineQueries.mediaAudio(_, _)),
     "q_media_video" -> (PipelineQueries.mediaVideo(_, _)),
     "q_media_formats" -> (PipelineQueries.mediaFormats(_, _)),
+    "q_media_resize" -> (PipelineQueries.mediaResize(_, _)),
     "q_stream_dedup" -> (PipelineQueries.streamDedup(_, _)),
     "q_stream_tile" -> (PipelineQueries.streamTileJoin(_, _)),
     "q_stream_window" -> (PipelineQueries.streamWindow(_, _)),
@@ -129,6 +130,7 @@ object SparkEntry {
     "q_media_audio" -> PipelineQueries.mediaAudioSql,
     "q_media_video" -> PipelineQueries.mediaVideoSql,
     "q_media_formats" -> PipelineQueries.mediaFormatsSql,
+    "q_media_resize" -> PipelineQueries.mediaResizeSql,
     "q_stream_dedup" -> PipelineQueries.streamDedupSql,
     "q_stream_tile" -> PipelineQueries.streamTileJoinSql,
     "q_stream_window" -> PipelineQueries.streamWindowSql,

@@ -491,8 +491,63 @@ object MediaOps {
     }
   }
 
-  /** STUB resize: metadata-only transform (a real one would re-encode the
-    * payload); keeps the binary column schema stable through the plan.
+  /** REAL image resize: integer box-filter downsample by factor `f` —
+    * each output channel is the floor-average of its f×f input block
+    * (exact integer arithmetic; odd right/bottom edges crop, the standard
+    * floor behavior) — re-encoded as a genuine PNG payload, so downstream
+    * operators consume the resized binary exactly like an original.
+    * Batched per-partition like every decode pass. Evidence path:
+    * `decodeImages(resizeImages(...))` — decode of the re-encoded output
+    * must reproduce the pooled dims and raster checksum, which the driver
+    * oracle recomputes arithmetically (q_media_resize).
+    */
+  def resizeImages(ds: Dataset[ImageRow], f: Int): Dataset[ImageRow] = {
+    require(f >= 1, s"resize factor must be >= 1, got $f")
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { row =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(row.payload))
+        require(img != null, s"undecodable payload for media ${row.media_id}")
+        val wo = img.getWidth / f
+        val ho = img.getHeight / f
+        require(wo > 0 && ho > 0,
+          s"media ${row.media_id}: ${img.getWidth}x${img.getHeight} too small for factor $f")
+        val out = new java.awt.image.BufferedImage(
+          wo, ho, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < ho) {
+          var x = 0
+          while (x < wo) {
+            var r = 0; var g = 0; var b = 0
+            var dy = 0
+            while (dy < f) {
+              var dx = 0
+              while (dx < f) {
+                val rgb = img.getRGB(x * f + dx, y * f + dy)
+                r += (rgb >> 16) & 0xff; g += (rgb >> 8) & 0xff; b += rgb & 0xff
+                dx += 1
+              }
+              dy += 1
+            }
+            val n = f * f
+            out.setRGB(x, y, ((r / n) << 16) | ((g / n) << 8) | (b / n))
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        ImageRow(row.media_id, bos.toByteArray)
+      }
+    }
+  }
+
+  /** Metadata-only resize (no payload touch): keeps the binary column
+    * schema stable when only dims matter; [[resizeImages]] is the real
+    * raster path.
     */
   def resize(meta: Dataset[MediaMeta], maxW: Int): Dataset[MediaMeta] = {
     val spark = meta.sparkSession

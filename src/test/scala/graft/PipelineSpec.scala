@@ -601,6 +601,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(lbl == unionFind(pairs.toSeq), "cluster labeling != union-find")
   }
 
+  test("resizeImages: re-decoded output equals an independent JVM box " +
+    "filter of the ORIGINAL decoded raster (not the synthetic formula)") {
+    import spark.implicits._
+    val table = MediaOps.pngTable(docs.limit(40)).localCheckpoint(true)
+    val resizedBytes = MediaOps.resizeImages(table, 2).collect()
+      .map(r => r.media_id -> r.payload).toMap
+    table.collect().foreach { row =>
+      val src = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(row.payload))
+      val out = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(resizedBytes(row.media_id)))
+      assert(out.getWidth == src.getWidth / 2)
+      assert(out.getHeight == src.getHeight / 2)
+      for (y <- 0 until out.getHeight; x <- 0 until out.getWidth) {
+        var r = 0; var g = 0; var b = 0
+        for (dy <- 0 to 1; dx <- 0 to 1) {
+          val rgb = src.getRGB(2 * x + dx, 2 * y + dy)
+          r += (rgb >> 16) & 0xff; g += (rgb >> 8) & 0xff; b += rgb & 0xff
+        }
+        val want = ((r / 4) << 16) | ((g / 4) << 8) | (b / 4)
+        assert((out.getRGB(x, y) & 0xffffff) == want,
+          s"pooled pixel ($x,$y) of media ${row.media_id}")
+      }
+    }
+  }
+
   test("entityCells: gazetteer mention/doc counts match a brute token " +
     "scan; geocodes land in-domain and cells agree with the grid") {
     val grid = graft.index.CellGrid.lonLat(4)
