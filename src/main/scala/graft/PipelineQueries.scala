@@ -282,6 +282,21 @@ object PipelineQueries {
   def tokenStats(spark: SparkSession, dir: String): DataFrame =
     PipelineOps.tokenStats(docs(spark, dir)).orderBy("doc_id")
 
+  /** BPE-ish token counting (the brief's second counting mode): regex
+    * pre-tokenization + bounded piece length, exact integer twin.
+    */
+  def tokenBpe(spark: SparkSession, dir: String): DataFrame =
+    PipelineOps.tokenBpe(docs(spark, dir)).orderBy("doc_id")
+
+  val tokenBpeSql: String =
+    """WITH p AS (SELECT doc_id,
+      |  regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]+') AS pieces
+      |  FROM documents)
+      |SELECT doc_id, CAST(len(pieces) AS BIGINT) AS n_pieces,
+      |  CAST(list_sum(list_transform(pieces, w -> (length(w) + 3) // 4))
+      |    AS BIGINT) AS n_bpe
+      |FROM p ORDER BY doc_id""".stripMargin
+
   val tokenStatsSql: String =
     """SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS n_chars,
       | CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS BIGINT) AS n_tokens

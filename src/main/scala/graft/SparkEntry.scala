@@ -47,6 +47,7 @@ object SparkEntry {
     "q_simhash" -> (PipelineQueries.simhash(_, _)),
     "q_fingerprints" -> (PipelineQueries.fingerprints(_, _)),
     "q_token_stats" -> (PipelineQueries.tokenStats(_, _)),
+    "q_token_bpe" -> (PipelineQueries.tokenBpe(_, _)),
     "q_text_quality" -> (PipelineQueries.textQuality(_, _)),
     "q_lang_id" -> (PipelineQueries.langId(_, _)),
     "q_entity_cells" -> (PipelineQueries.entityCells(_, _)),
@@ -112,6 +113,7 @@ object SparkEntry {
     "q_entity_cells" -> PipelineQueries.entityCellsSql,
     "q_fingerprints" -> PipelineQueries.fingerprintsSql,
     "q_token_stats" -> PipelineQueries.tokenStatsSql,
+    "q_token_bpe" -> PipelineQueries.tokenBpeSql,
     "q_text_quality" -> PipelineQueries.textQualitySql,
     "q_ann_topk" -> PipelineQueries.annTopKSql,
     "q_ann_ivf" -> PipelineQueries.annTopKSql, // exact: same answer as brute force

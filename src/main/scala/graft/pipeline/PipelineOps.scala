@@ -453,6 +453,26 @@ object PipelineOps {
       (spaces + lit(1)).cast("long").as("n_tokens"))
   }
 
+  /** BPE-ish token counting — the second counting mode a training
+    * pipeline budgets with (the first is whitespace, [[tokenStats]]):
+    * pre-tokenize with a regex over portable character classes (the
+    * GPT-2 pre-tokenizer shape, letters / digits / other runs), then
+    * bound each piece at `maxPiece` characters the way byte-fallback BPE
+    * vocabularies bound merged tokens — so `n_bpe` = Σ ceil(len/maxPiece)
+    * over regex pieces. Integer arithmetic end-to-end, so both counts
+    * carry an exact SQL twin (the regex is class-alternation only,
+    * identical under Java regex and RE2-style engines).
+    */
+  def tokenBpe(docs: DataFrame, maxPiece: Int = 4): DataFrame = {
+    val pieces = regexp_extract_all(col("text"),
+      lit("[a-z]+|[0-9]+|[^a-z0-9 ]+"), lit(0))
+    docs.select(col("doc_id"),
+      size(pieces).cast("long").as("n_pieces"),
+      aggregate(pieces, lit(0L), (a, w) =>
+        a + ((length(w) + lit(maxPiece - 1)) / lit(maxPiece)).cast("long"))
+        .as("n_bpe"))
+  }
+
   /** Quality scores: exact integer counts plus IEEE-exact ratios. */
   def textQuality(docs: DataFrame): DataFrame = {
     val chars = length(col("text")).cast("long")

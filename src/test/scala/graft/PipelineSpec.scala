@@ -601,6 +601,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(lbl == unionFind(pairs.toSeq), "cluster labeling != union-find")
   }
 
+  test("tokenBpe: regex piece count and bounded-piece BPE-ish count " +
+    "match a brute Scala tokenization") {
+    val got = PipelineOps.tokenBpe(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    docs.select("doc_id", "text").collect().foreach { r =>
+      val (id, text) = (r.getLong(0), r.getString(1))
+      val pieces = "[a-z]+|[0-9]+|[^a-z0-9 ]+".r.findAllIn(text).toSeq
+      val nBpe = pieces.map(w => (w.length + 3) / 4).sum.toLong
+      assert(got(id) == ((pieces.length.toLong, nBpe)), s"doc $id")
+    }
+    // a doc with digits and punctuation splits into class runs
+    import spark.implicits._
+    val mixed = Seq((1L, "abc12 de-f!! ghijklmno")).toDF("doc_id", "text")
+    val row = PipelineOps.tokenBpe(mixed).collect()(0)
+    // pieces: abc|12|de|-|f|!!|ghijklmno = 7; bpe: 1+1+1+1+1+1+3 = 9
+    assert((row.getLong(1), row.getLong(2)) == ((7L, 9L)))
+  }
+
   test("resizeImages: re-decoded output equals an independent JVM box " +
     "filter of the ORIGINAL decoded raster (not the synthetic formula)") {
     import spark.implicits._
