@@ -192,7 +192,12 @@ object SpatialFunctions {
         crossing(vxs(i - 1), vys(i - 1), vxs(i - 2), vys(i - 2)))
         .otherwise(0)
     }
-    (closing +: rest).reduce(_ + _) % 2 === 1
+    // same refusal as stPointInPolygonN: a layer past the flatten bound
+    // would silently undercount crossings (its tail vertices are null)
+    when(k > m,
+      raise_error(concat(lit(s"stPointInPolygonFlat: > $m vertices: "),
+        k.cast("string"))).cast("boolean"))
+      .otherwise((closing +: rest).reduce(_ + _) % 2 === 1)
   }
 
   /** Reference-point de-duplication predicate for exploded spatial joins:
