@@ -293,8 +293,8 @@ object PipelineQueries {
       |  regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]+') AS pieces
       |  FROM documents)
       |SELECT doc_id, CAST(len(pieces) AS BIGINT) AS n_pieces,
-      |  CAST(list_sum(list_transform(pieces, w -> (length(w) + 3) // 4))
-      |    AS BIGINT) AS n_bpe
+      |  CAST(COALESCE(list_sum(list_transform(pieces,
+      |    w -> (length(w) + 3) // 4)), 0) AS BIGINT) AS n_bpe
       |FROM p ORDER BY doc_id""".stripMargin
 
   val tokenStatsSql: String =

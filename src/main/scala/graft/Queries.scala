@@ -667,7 +667,15 @@ object Queries {
     * key set (gaps moved) can never silently serve a stale committed
     * index.
     */
-  private def persistedRoot(spark: SparkSession, dir: String): String = {
+  private def persistedRoot(spark: SparkSession, dir: String): String =
+    persistedRoot(spark, dir, "graft_pidx_v4_")
+
+  /** `prefix` names the store family (range/knn vs append probes keep
+    * separate roots); version bumps go in the prefix itself, so every
+    * family re-keys together — no post-hoc string surgery on the path.
+    */
+  private def persistedRoot(spark: SparkSession, dir: String,
+      prefix: String): String = {
     val fp = load(spark, dir, "customer")
       .agg(count(lit(1)),
         min(col("c_custkey")).cast("long"), max(col("c_custkey")).cast("long"),
@@ -678,7 +686,7 @@ object Queries {
     // tree graph (PointRTree2D, LocalRTree, Entry, Inner, AABB), so
     // additive method changes no longer invalidate a store — the v3 store
     // was written with implicit UIDs and died when locateAtPoint landed.
-    s"/tmp/graft_pidx_v4_${new java.io.File(dir).getName}" +
+    s"/tmp/$prefix${new java.io.File(dir).getName}" +
       s"_${fp.getLong(0)}_${fp.getLong(1)}_${fp.getLong(2)}" +
       f"_${fp.getLong(3)}%016x${fp.getLong(4)}%016x".replace("-", "n")
   }
@@ -760,8 +768,7 @@ object Queries {
   def persistedAppend(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val all = points(load(spark, dir, "customer"), "c_custkey").as[PointRow]
-    val root = persistedRoot(spark, dir).replace("graft_pidx_v4_",
-      "graft_pidxa_v1_")
+    val root = persistedRoot(spark, dir, "graft_pidxa_v4_")
     IndexStore.build(spark, all.filter(_.id % 2 == 0), grid, root)
     IndexStore.append(spark, all.filter(_.id % 2 != 0), grid, root, gen = 1)
     IndexStore.rangeQuery(spark, root, grid, QB._1, QB._2, QB._3, QB._4)

@@ -64,21 +64,50 @@ object IndexStore {
     })
   }
 
-  /** Committed generations under `root`, oldest first: generation 0 is the
-    * base `trees` stage, appends land as `trees_g<k>` (k ≥ 1). A stage
-    * counts only once it has ≥ 1 committed group marker.
+  /** Committed generations under `root`, oldest first. Three stage kinds:
+    * the base `trees` stage (generation 0), appends `trees_g<k>` (k ≥ 1),
+    * and compactions `trees_c<k>` — a compacted stage RECORDS the maximum
+    * generation it subsumed, so it owns no number a future append could
+    * want, and at equal k the compaction outranks the append (it already
+    * contains it; matters when a stream replaying an old batchId
+    * recreates a retired `trees_g<k>`). A stage counts only once it has
+    * ≥ 1 committed group marker. Returns (gen, kindRank, stage) with
+    * kindRank 1 for compactions, 0 otherwise, ordered by (gen, kindRank).
     */
-  private def generations(spark: SparkSession, root: String): Seq[(Int, String)] = {
+  private def generations(spark: SparkSession,
+      root: String): Seq[(Int, Int, String)] = {
     val cp = new Checkpoint(spark, root)
     val d = new java.io.File(root)
     val names =
       if (!d.isDirectory) Array.empty[String]
       else d.listFiles().filter(_.isDirectory).map(_.getName)
-        .filter(n => n == "trees" || n.matches("trees_g\\d+"))
+        .filter(n => n == "trees" || n.matches("trees_[gc]\\d+"))
     names.toSeq
-      .map(n => (if (n == "trees") 0 else n.stripPrefix("trees_g").toInt, n))
-      .filter { case (_, n) => cp.completedGroups(n).nonEmpty }
-      .sortBy(_._1)
+      .map {
+        case "trees" => (0, 0, "trees")
+        case n if n.startsWith("trees_c") =>
+          (n.stripPrefix("trees_c").toInt, 1, n)
+        case n => (n.stripPrefix("trees_g").toInt, 0, n)
+      }
+      .filter { case (_, _, n) => cp.completedGroups(n).nonEmpty }
+      .sortBy(t => (t._1, t._2))
+  }
+
+  /** Retire a stage crash-safely: the commit MARKERS go first, so a kill
+    * mid-retirement leaves either an invisible orphan directory (markers
+    * gone — `generations` no longer lists it) or a still-consistent
+    * partial stage (surviving markers all still have their data); never a
+    * stage whose markers promise data that was already deleted.
+    */
+  private def retireStage(root: String, stage: String): Unit = {
+    val d = new java.io.File(s"$root/$stage")
+    if (!d.isDirectory) return
+    d.listFiles().filter(_.getName.startsWith("_done_")).foreach(_.delete())
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(d)
   }
 
   private def readStage(spark: SparkSession, root: String,
@@ -96,23 +125,33 @@ object IndexStore {
     * LSM-style contract that makes appends O(touched cells), not
     * O(store), at 100 TB). Single-generation stores skip the window.
     */
-  def table(spark: SparkSession, root: String): DataFrame =
-    tableUpTo(spark, root, Int.MaxValue)
+  def table(spark: SparkSession, root: String): DataFrame = {
+    val view = tableUpTo(spark, root, Int.MaxValue)
+    require(view.isDefined, s"no committed index groups under $root")
+    view.get
+  }
 
+  /** The latest-wins view over stages with generation ≤ maxGen; None when
+    * no such stage exists (a replayed append whose base generations were
+    * compacted away hits this — its output is dominated by the compacted
+    * stage anyway, see [[append]]).
+    */
   private def tableUpTo(spark: SparkSession, root: String,
-      maxGen: Int): DataFrame = {
+      maxGen: Int): Option[DataFrame] = {
     import org.apache.spark.sql.expressions.Window
     val gens = generations(spark, root).filter(_._1 <= maxGen)
-    require(gens.nonEmpty, s"no committed index groups under $root")
-    if (gens.size == 1) readStage(spark, root, gens.head._2)
+    if (gens.isEmpty) None
+    else if (gens.size == 1) Some(readStage(spark, root, gens.head._3))
     else {
-      val unioned = gens.map { case (g, stage) =>
-        readStage(spark, root, stage).withColumn("gen", lit(g))
+      val unioned = gens.map { case (g, kr, stage) =>
+        readStage(spark, root, stage)
+          .withColumn("gen", lit(g)).withColumn("kr", lit(kr))
       }.reduce(_.unionByName(_))
-      val w = Window.partitionBy("cell").orderBy(col("gen").desc)
-      unioned.withColumn("rk", row_number().over(w))
+      val w = Window.partitionBy("cell")
+        .orderBy(col("gen").desc, col("kr").desc)
+      Some(unioned.withColumn("rk", row_number().over(w))
         .where(col("rk") === 1)
-        .select("cell", "n", "tree")
+        .select("cell", "n", "tree"))
     }
   }
 
@@ -134,8 +173,33 @@ object IndexStore {
     require(gen >= 1, s"append generations start at 1, got $gen")
     import spark.implicits._
     val cp = new Checkpoint(spark, root)
-    val base = tableUpTo(spark, root, gen - 1)
     val celled = points.map(p => (grid.cellId(p.x, p.y), p))
+    // materialize the touched-cell slice of the base view ONCE (semi-join
+    // on the batch's cell set, no driver collect): without this, every
+    // one of the nGroups group jobs re-scans all generations and re-runs
+    // the latest-wins window — O(nGroups·store) instead of O(touched)
+    val touched = celled.map(_._1).distinct().toDF("cell")
+    val base = tableUpTo(spark, root, gen - 1) match {
+      case Some(view) =>
+        view.join(broadcast(touched), Seq("cell"), "left_semi")
+          .localCheckpoint(true)
+      case None =>
+        // no base ≤ gen-1: either a store seeded by append alone, or a
+        // stream REPLAYING a batch whose generations a compaction already
+        // subsumed and retired — in that case this stage's rows are
+        // outranked by the compacted stage (kindRank), so building them
+        // against an empty base is safe and the replay stays a no-op
+        // in the served view
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("cell",
+              org.apache.spark.sql.types.LongType, nullable = false),
+            org.apache.spark.sql.types.StructField("n",
+              org.apache.spark.sql.types.LongType, nullable = false),
+            org.apache.spark.sql.types.StructField("tree",
+              org.apache.spark.sql.types.BinaryType, nullable = true))))
+    }
     cp.runStage(s"trees_g$gen", nGroups, { g =>
       val newCells = celled.filter(_._1 % nGroups == g)
         .groupByKey(_._1)
@@ -277,33 +341,34 @@ object IndexStore {
   }
 
   /** LSM COMPACTION for the generational store: materialize the
-    * last-writer-wins view as one new generation, then retire every older
-    * stage — probes go back to the single-generation fast path and disk
-    * holds one tree per cell again. Crash-safe by construction: the new
-    * generation commits group-by-group through Checkpoint BEFORE any old
-    * stage is deleted, and a compaction killed mid-way leaves a partial
-    * generation that the latest-wins view masks (its committed cells are
-    * identical to the view they were computed from); the next successful
-    * compaction subsumes and removes it. Correctness never depends on a
+    * last-writer-wins view as ONE compacted stage `trees_c<m>` — m being
+    * the maximum generation it subsumes, NOT a fresh number, so the
+    * append sequence (e.g. streaming batchIds) is never stolen: a later
+    * append at gen > m wins its cells as usual, and a stream REPLAYING a
+    * retired batch ≤ m recreates a stage the compacted one outranks
+    * (kindRank tiebreak). Old stages retire only after the full commit,
+    * markers first ([[retireStage]]), so a crash anywhere leaves a store
+    * every read still serves correctly; a partial compacted stage holds
+    * cells identical to the view it was computed from, masked until the
+    * next compaction subsumes it. Correctness never depends on a
     * compaction finishing — it is pure maintenance, exactly like an LSM
-    * level merge.
+    * level merge. The view is materialized once (localCheckpoint) — a
+    * compaction is inherently O(store), but never O(nGroups·store).
     */
   def compact(spark: SparkSession, root: String,
       nGroups: Int = 8): DataFrame = {
     val gens = generations(spark, root)
     require(gens.nonEmpty, s"no committed index groups under $root")
-    if (gens.size == 1) return readStage(spark, root, gens.head._2)
-    val target = gens.last._1 + 1
-    val cur = table(spark, root)
+    if (gens.size == 1) return readStage(spark, root, gens.head._3)
+    val m = gens.map(_._1).max
+    val target = s"trees_c$m"
+    val cur = table(spark, root).localCheckpoint(true)
     val cp = new Checkpoint(spark, root)
-    cp.runStage(s"trees_g$target", nGroups, { g =>
+    cp.runStage(target, nGroups, { g =>
       cur.where(col("cell") % nGroups === g)
     })
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete()
-    }
-    gens.foreach { case (_, stage) => rm(new java.io.File(s"$root/$stage")) }
+    gens.filter(_._3 != target)
+      .foreach { case (_, _, stage) => retireStage(root, stage) }
     table(spark, root)
   }
 

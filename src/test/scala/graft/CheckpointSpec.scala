@@ -267,18 +267,29 @@ class CheckpointSpec extends AnyFunSuite {
     IndexStore.append(spark, pts(4700, 5000), grid, rootA, gen = 2, nGroups = 6)
     assert(rq(rootA) == rq(rootF))
 
-    // LSM compaction: merges the three generations into one, retires the
-    // old stages, and leaves probes bit-identical
+    // LSM compaction: merges the three generations into ONE compacted
+    // stage named for the max generation it subsumes (trees_c2 — the
+    // append number space is never stolen), retires the old stages, and
+    // leaves probes bit-identical
     val preCompact = rq(rootA)
     IndexStore.compact(spark, rootA, nGroups = 6)
     val stages = new java.io.File(rootA).listFiles()
       .filter(_.isDirectory).map(_.getName)
-      .filter(n => n == "trees" || n.startsWith("trees_g")).sorted.toSeq
-    assert(stages == Seq("trees_g3"),
-      s"compaction must leave exactly one generation, got $stages")
+      .filter(n => n == "trees" || n.startsWith("trees_")).sorted.toSeq
+    assert(stages == Seq("trees_c2"),
+      s"compaction must leave exactly one c-stage, got $stages")
     assert(rq(rootA) == preCompact)
     val knnC = knn(rootA)
     assert(knnC == knn(rootF), "kNN after compaction must be unchanged")
+    // a post-compaction append takes the NEXT generation number untouched
+    // (the compacted stage owns no append number, so nothing collides)
+    IndexStore.append(spark, pts(5000, 5200), grid, rootA, gen = 3, nGroups = 6)
+    assert(new java.io.File(s"$rootA/trees_g3").isDirectory)
+    val withTail = pts(0, 5200).collect().filter(p =>
+      p.x >= -170.0 && p.x <= 170.0 && p.y >= -80.0 && p.y <= 80.0)
+      .map(p => (p.id, p.x, p.y)).toSet
+    assert(rq(rootA) == withTail,
+      "append after compaction must land (no marker collision)")
 
     // compaction CRASH state: old generations intact + a PARTIAL target
     // generation (a compaction dies before deleting old stages). Build it
@@ -294,19 +305,30 @@ class CheckpointSpec extends AnyFunSuite {
     val partialSlice = IndexStore.table(spark, rootC)
       .where(col("cell") % 6 === 0).collect()
     val cpC = new Checkpoint(spark, rootC)
-    cpC.runStage("trees_g2", 1, { _ =>
+    // hand-commit group 0 of what a crashed compact(nGroups=6) would have
+    // written: the c-stage named for the max subsumed generation (1),
+    // holding the group-0 slice of the view
+    cpC.runStage("trees_c1", 1, { _ =>
       spark.createDataFrame(
         spark.sparkContext.parallelize(partialSlice.toSeq, 1),
         IndexStore.table(spark, rootC).schema)
     })
     assert(rq(rootC) == wantC,
-      "a partial compaction generation must be masked by latest-wins")
+      "a partial compaction stage must be masked by latest-wins")
+    // the recovery compaction RESUMES the same c-stage (group 0 already
+    // committed), completes the remaining groups, retires the old stages
     IndexStore.compact(spark, rootC, nGroups = 6)
     val stagesC = new java.io.File(rootC).listFiles()
       .filter(_.isDirectory).map(_.getName)
-      .filter(n => n == "trees" || n.startsWith("trees_g")).sorted.toSeq
-    assert(stagesC == Seq("trees_g3"),
+      .filter(n => n == "trees" || n.startsWith("trees_")).sorted.toSeq
+    assert(stagesC == Seq("trees_c1"),
       s"recovery compaction must converge to one stage, got $stagesC")
     assert(rq(rootC) == wantC)
+    // and a stream REPLAYING an already-subsumed batch (gen 1 again,
+    // its base generations gone) must neither crash nor change the view:
+    // the recreated trees_g1 is outranked by trees_c1
+    IndexStore.append(spark, pts(4000, 5000), grid, rootC, gen = 1, nGroups = 6)
+    assert(rq(rootC) == wantC,
+      "a replayed subsumed batch must be dominated by the compacted stage")
   }
 }
