@@ -59,7 +59,13 @@ public final class VectorKernels {
             DoubleVector dy = DoubleVector.fromArray(S, ys, i).sub(py);
             DoubleVector d2 = dx.mul(dx).add(dy.mul(dy));
             double lane = d2.reduceLanes(jdk.incubator.vector.VectorOperators.MIN);
-            if (lane < bestD) {
+            // reduceLanes(MIN) propagates NaN, and `NaN < bestD` is false:
+            // without the isNaN check a block containing ONE non-finite
+            // coordinate would be skipped entirely while the scalar tail
+            // still considers its finite points. The scalar rescan's
+            // comparisons are NaN-false, so non-finite points never win
+            // there, matching the scalar path exactly.
+            if (lane < bestD || Double.isNaN(lane)) {
                 // a strictly better lane exists: locate it scalar (rare path)
                 for (int j = i; j < i + S.length(); j++) {
                     double ddx = xs[j] - px, ddy = ys[j] - py;

@@ -269,7 +269,12 @@ object IndexStore {
       queries: Dataset[QueryRow], k: Int): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
-    val store = table(spark, root)
+    // materialize the generational view ONCE: the query runs three jobs
+    // against it (histogram collect + both probe passes), and on a
+    // multi-generation store each would otherwise re-run the union +
+    // latest-wins window — same single-pass-view treatment append/compact
+    // already apply
+    val store = table(spark, root).localCheckpoint(true)
     // bounded: ≤ 4^res non-empty cells (the knnJoin histogram contract)
     val histRows = store.select(col("cell"), col("n"))
       .as[(Long, Long)].collect().sortBy(_._1)

@@ -94,20 +94,29 @@ object SpatialOps {
     */
   val MaxBroadcastLayerRows: Long = 10L * 1000 * 1000
 
-  private def requireBoundedLayer(df: DataFrame, op: String): Unit = {
-    val n = df.count() // cheap: scan-count of the small side, pushed down
-    require(n <= MaxBroadcastLayerRows,
-      s"$op: layer has $n rows > $MaxBroadcastLayerRows — the broadcast " +
+  /** Collect a BOUNDED layer in one pass: the plan is capped at
+    * MaxBroadcastLayerRows + 1 rows via `limit`, so an over-bound layer
+    * fails fast on the contract (never a driver OOM mid-collect), and the
+    * collected rows themselves feed the tree build — the layer's lineage
+    * executes exactly once per broadcast-join call, not once for a guard
+    * count and again for the collect.
+    */
+  private def collectBounded[T](ds: Dataset[T], op: String): Array[T] = {
+    val rows = ds.limit(MaxBroadcastLayerRows.toInt + 1).collect()
+    require(rows.length <= MaxBroadcastLayerRows,
+      s"$op: layer exceeds $MaxBroadcastLayerRows rows — the broadcast " +
         "path is for BOUNDED layers only; use the grid shuffle plan for " +
         "layers this size")
+    rows
   }
 
   def intersectionJoinBroadcast(left: DataFrame, right: DataFrame): DataFrame = {
     val spark = left.sparkSession
     import spark.implicits._
-    requireBoundedLayer(right, "intersectionJoinBroadcast")
-    val rects = right.select("id", "minX", "minY", "maxX", "maxY")
-      .as[(Long, Double, Double, Double, Double)].collect()
+    val rects = collectBounded(
+      right.select("id", "minX", "minY", "maxX", "maxY")
+        .as[(Long, Double, Double, Double, Double)],
+      "intersectionJoinBroadcast")
     val entries = rects.map { case (id, x0, y0, x1, y1) =>
       Entry(AABB.of2d(x0, y0, x1, y1), id)
     }
@@ -357,8 +366,7 @@ object SpatialOps {
     // bounded-layer contract: the caller asserts the layer fits in memory
     // (the 100 TB analog broadcasts exactly this much) — guarded so misuse
     // fails fast with the contract message, not a driver OOM mid-collect
-    requireBoundedLayer(data.toDF(), "knnJoinBroadcast")
-    val pts = data.collect()
+    val pts = collectBounded(data, "knnJoinBroadcast")
     val treeB = spark.sparkContext.broadcast(graft.index.PointRTree2D.build(
       pts.map(_.id), pts.map(_.x), pts.map(_.y)))
     val q = queries.toDF().select("qid", "x", "y")

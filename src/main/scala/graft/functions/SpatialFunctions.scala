@@ -159,9 +159,12 @@ object SpatialFunctions {
       val xCross = (xj - xi) * (qy - yi) / (yj - yi) + xi
       when(iC <= n, when(cond && qx < xCross, 1).otherwise(0)).otherwise(0)
     }
-    // layers beyond the unroll bound would silently undercount — refuse
-    when(n > maxVerts,
-      raise_error(concat(lit(s"stPointInPolygonN: > $maxVerts vertices: "),
+    // layers beyond the unroll bound would silently undercount, and a
+    // degenerate < 3-gon has even crossing parity everywhere (every row
+    // silently filtered) — refuse both loudly
+    when(n > maxVerts || n < 3,
+      raise_error(concat(
+        lit(s"stPointInPolygonN: vertex count outside [3, $maxVerts]: "),
         n.cast("string"))).cast("boolean"))
       .otherwise(terms.reduce(_ + _) % 2 === 1)
   }
@@ -192,10 +195,13 @@ object SpatialFunctions {
         crossing(vxs(i - 1), vys(i - 1), vxs(i - 2), vys(i - 2)))
         .otherwise(0)
     }
-    // same refusal as stPointInPolygonN: a layer past the flatten bound
-    // would silently undercount crossings (its tail vertices are null)
-    when(k > m,
-      raise_error(concat(lit(s"stPointInPolygonFlat: > $m vertices: "),
+    // same refusal as stPointInPolygonN for over-bound layers — and k < 3
+    // fails just as loudly: a degenerate "polygon" makes lastOf's when-
+    // chain yield NULL, which would propagate NULL through the predicate
+    // and silently DROP the row instead of erroring
+    when(k > m || k < 3,
+      raise_error(concat(
+        lit(s"stPointInPolygonFlat: vertex count outside [3, $m]: "),
         k.cast("string"))).cast("boolean"))
       .otherwise((closing +: rest).reduce(_ + _) % 2 === 1)
   }
