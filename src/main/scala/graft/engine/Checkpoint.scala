@@ -1,6 +1,6 @@
 package graft.engine
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -22,25 +22,32 @@ import org.apache.spark.sql.functions._
   * their parquet re-read; only missing groups recompute. Group granularity
   * is the resume granularity — at 100 TB one group ≈ one cell-hash bucket
   * of partitions, so a kill loses at most one group's work.
+  *
+  * All filesystem access goes through the Hadoop [[FileSystem]] resolved
+  * from the root's scheme (`file:`, `hdfs:`, `s3a:`, …) — the store lives
+  * wherever the cluster's data lives, never on driver-local POSIX paths.
+  * `rename` is atomic on HDFS (and on the local FS via POSIX rename);
+  * object stores without atomic rename still converge because the marker,
+  * not the rename, is the commit point: a reader only trusts `group=<g>`
+  * after `_done_<g>` exists, and markers are single small files.
   */
 final class Checkpoint(spark: SparkSession, root: String) {
 
-  private def stageDir(stage: String): Path = Paths.get(root, stage)
-  private def marker(stage: String, g: Int): Path =
-    stageDir(stage).resolve(s"_done_$g")
+  private val fs: FileSystem =
+    new HPath(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def stageDir(stage: String): HPath = new HPath(root, stage)
+  private def marker(stage: String, g: Int): HPath =
+    new HPath(stageDir(stage), s"_done_$g")
 
   def completedGroups(stage: String): Set[Int] = {
     val d = stageDir(stage)
-    if (!Files.exists(d)) Set.empty
-    else {
-      val it = Files.list(d).iterator()
-      val out = scala.collection.mutable.Set.empty[Int]
-      while (it.hasNext) {
-        val name = it.next().getFileName.toString
-        if (name.startsWith("_done_")) out += name.stripPrefix("_done_").toInt
-      }
-      out.toSet
-    }
+    if (!fs.exists(d)) Set.empty
+    else fs.listStatus(d).iterator
+      .map(_.getPath.getName)
+      .filter(_.startsWith("_done_"))
+      .map(_.stripPrefix("_done_").toInt)
+      .toSet
   }
 
   /** Run (or resume) a stage: `compute(g)` must return group `g`'s slice —
@@ -56,25 +63,26 @@ final class Checkpoint(spark: SparkSession, root: String) {
       stage: String, nGroups: Int,
       compute: Int => DataFrame,
       xCol: String = "", yCol: String = ""): DataFrame = {
-    Files.createDirectories(stageDir(stage))
+    fs.mkdirs(stageDir(stage))
     val done = completedGroups(stage)
     (0 until nGroups).foreach { g =>
       if (!done.contains(g)) {
         val t0 = System.nanoTime()
         val df = compute(g)
-        val tmp = stageDir(stage).resolve(s".tmp_group_$g")
-        val fin = stageDir(stage).resolve(s"group=$g")
-        deleteRecursively(tmp)
+        val tmp = new HPath(stageDir(stage), s".tmp_group_$g")
+        val fin = new HPath(stageDir(stage), s"group=$g")
+        fs.delete(tmp, true)
         df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-        deleteRecursively(fin)
-        Files.move(tmp, fin, StandardCopyOption.ATOMIC_MOVE)
+        fs.delete(fin, true)
+        require(fs.rename(tmp, fin), s"rename $tmp -> $fin failed")
         val wallMs = (System.nanoTime() - t0) / 1000000L
         writeLineage(stage, g, fin.toString, wallMs, xCol, yCol)
-        Files.createFile(marker(stage, g)) // commit point
+        fs.create(marker(stage, g), false).close() // commit point
       }
     }
     spark.read.parquet(
-      (0 until nGroups).map(g => stageDir(stage).resolve(s"group=$g").toString): _*)
+      (0 until nGroups).map(g =>
+        new HPath(stageDir(stage), s"group=$g").toString): _*)
   }
 
   private def writeLineage(
@@ -109,7 +117,8 @@ final class Checkpoint(spark: SparkSession, root: String) {
         // lineage() keeps only the latest attempt per (stage, grp) so
         // metrics never double-count.
         lit(System.nanoTime()).as("attempt"))
-      .write.mode(SaveMode.Append).parquet(s"$root/_lineage")
+      .write.mode(SaveMode.Append).parquet(
+        new HPath(root, "_lineage").toString)
   }
 
   /** One row per (stage, grp): the latest attempt only (earlier attempts of
@@ -120,7 +129,7 @@ final class Checkpoint(spark: SparkSession, root: String) {
     * in-JVM `attempt` as the tiebreak for same-millisecond retries.
     */
   def lineage(): DataFrame = {
-    val raw0 = spark.read.parquet(s"$root/_lineage")
+    val raw0 = spark.read.parquet(new HPath(root, "_lineage").toString)
     // Migration: checkpoints written before committed_ms existed must stay
     // resumable (roots are caller-named, not versioned). If the inferred
     // schema lacks the column, or mixed old/new files leave nulls, derive
@@ -137,12 +146,6 @@ final class Checkpoint(spark: SparkSession, root: String) {
     raw.withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1).drop("__rn")
   }
-
-  private def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p)) {
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => Files.delete(f))
-    }
 }
 
 object Checkpoint {

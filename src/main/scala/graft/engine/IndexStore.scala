@@ -2,6 +2,7 @@ package graft.engine
 
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream, ObjectInputStream, ObjectOutputStream}
 
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -25,6 +26,14 @@ import graft.index.{CellGrid, PointRTree2D}
   * at most one uncommitted group.
   */
 object IndexStore {
+
+  /** The store's filesystem, resolved from the root's scheme — `file:`,
+    * `hdfs:`, `s3a:`, … — through the session's Hadoop configuration.
+    * The store lives wherever the cluster's data lives; nothing in this
+    * object touches driver-local POSIX paths.
+    */
+  private def hfs(spark: SparkSession, root: String): FileSystem =
+    new HPath(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   def treeBytes(t: PointRTree2D): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
@@ -77,10 +86,11 @@ object IndexStore {
   private def generations(spark: SparkSession,
       root: String): Seq[(Int, Int, String)] = {
     val cp = new Checkpoint(spark, root)
-    val d = new java.io.File(root)
+    val fs = hfs(spark, root)
+    val rootP = new HPath(root)
     val names =
-      if (!d.isDirectory) Array.empty[String]
-      else d.listFiles().filter(_.isDirectory).map(_.getName)
+      if (!fs.exists(rootP)) Array.empty[String]
+      else fs.listStatus(rootP).filter(_.isDirectory).map(_.getPath.getName)
         .filter(n => n == "trees" || n.matches("trees_[gc]\\d+"))
     names.toSeq
       .map {
@@ -99,22 +109,21 @@ object IndexStore {
     * partial stage (surviving markers all still have their data); never a
     * stage whose markers promise data that was already deleted.
     */
-  private def retireStage(root: String, stage: String): Unit = {
-    val d = new java.io.File(s"$root/$stage")
-    if (!d.isDirectory) return
-    d.listFiles().filter(_.getName.startsWith("_done_")).foreach(_.delete())
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete()
-    }
-    rm(d)
+  private def retireStage(spark: SparkSession, root: String,
+      stage: String): Unit = {
+    val fs = hfs(spark, root)
+    val d = new HPath(root, stage)
+    if (!fs.exists(d)) return
+    fs.listStatus(d).filter(_.getPath.getName.startsWith("_done_"))
+      .foreach(s => fs.delete(s.getPath, false))
+    fs.delete(d, true)
   }
 
   private def readStage(spark: SparkSession, root: String,
       stage: String): DataFrame = {
     val cp = new Checkpoint(spark, root)
     spark.read.parquet(cp.completedGroups(stage).toSeq.sorted
-      .map(g => s"$root/$stage/group=$g"): _*)
+      .map(g => new HPath(new HPath(root, stage), s"group=$g").toString): _*)
   }
 
   /** The stored index table: latest generation wins per cell. An appended
@@ -373,7 +382,7 @@ object IndexStore {
       cur.where(col("cell") % nGroups === g)
     })
     gens.filter(_._3 != target)
-      .foreach { case (_, _, stage) => retireStage(root, stage) }
+      .foreach { case (_, _, stage) => retireStage(spark, root, stage) }
     table(spark, root)
   }
 

@@ -331,4 +331,79 @@ class CheckpointSpec extends AnyFunSuite {
     assert(rq(rootC) == wantC,
       "a replayed subsumed batch must be dominated by the compacted stage")
   }
+
+  test("Hadoop FS port: an explicit file:-scheme root builds, kill/resumes, " +
+    "appends, compacts and serves — no POSIX path ever touched") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    import graft.engine.{IndexStore, PointRow, QueryRow}
+    val grid = CellGrid.lonLat(4)
+    // scheme-qualified root: the engine must resolve every operation
+    // through the Hadoop FileSystem for this scheme (the same code path a
+    // hdfs:// or s3a:// root takes on a real cluster)
+    val root = "file:" +
+      java.nio.file.Files.createTempDirectory("graft_idxh").toString
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def pts(lo: Long, hi: Long) = spark.range(lo, hi).map { id =>
+      PointRow(id,
+        PagesGen.uniform(id, 1) * 360.0 - 180.0,
+        PagesGen.uniform(id, 2) * 170.0 - 85.0)
+    }
+    IndexStore.build(spark, pts(0, 3000), grid, root, nGroups = 4)
+
+    // SIGKILL simulation through the SAME FileSystem the engine uses:
+    // drop one committed group (marker + data)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/trees/_done_1"), false)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/trees/group=1"), true)
+    val cp = new Checkpoint(spark, root)
+    assert(cp.completedGroups("trees") == Set(0, 2, 3))
+    IndexStore.build(spark, pts(0, 3000), grid, root, nGroups = 4)
+    assert(cp.completedGroups("trees") == (0 until 4).toSet)
+
+    val (bx0, by0, bx1, by1) = (-120.0, -60.0, 120.0, 60.0)
+    def rq() = IndexStore.rangeQuery(spark, root, grid, bx0, by0, bx1, by1)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
+    def brute(hi: Long) = pts(0, hi).collect().filter(p =>
+      p.x >= bx0 && p.x <= bx1 && p.y >= by0 && p.y <= by1)
+      .map(p => (p.id, p.x, p.y)).toSet
+    assert(rq() == brute(3000))
+    assert(rq().nonEmpty)
+
+    // generational append + marker idempotence on the scheme'd store
+    IndexStore.append(spark, pts(3000, 3500), grid, root, gen = 1, nGroups = 4)
+    assert(rq() == brute(3500))
+    def walk(): Set[String] = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(root), true)
+      val out = scala.collection.mutable.Set.empty[String]
+      while (it.hasNext) out += it.next().getPath.toString
+      out.toSet
+    }
+    val snap = walk()
+    IndexStore.append(spark, pts(3000, 3500), grid, root, gen = 1, nGroups = 4)
+    assert(walk() == snap, "marker-idempotent re-append must write nothing")
+
+    // compaction retires the old stages through the FS API
+    IndexStore.compact(spark, root, nGroups = 4)
+    val stages = fs.listStatus(new org.apache.hadoop.fs.Path(root))
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .filter(n => n == "trees" || n.startsWith("trees_")).sorted.toSeq
+    assert(stages == Seq("trees_c1"),
+      s"compaction must leave exactly one c-stage, got $stages")
+    assert(rq() == brute(3500))
+
+    // kNN served from the scheme'd store matches the in-memory join shape
+    val qs = spark.range(20).map(i =>
+      QueryRow(i, PagesGen.uniform(i + 31, 3) * 300.0 - 150.0,
+        PagesGen.uniform(i + 31, 4) * 150.0 - 75.0))
+    val got = IndexStore.knnQuery(spark, root, grid, qs, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val all = pts(0, 3500).collect()
+    val wantNn = qs.collect().flatMap { q =>
+      all.map(p => (q.qid, p.id,
+          (p.x - q.x) * (p.x - q.x) + (p.y - q.y) * (p.y - q.y)))
+        .sortBy(t => (t._3, t._2)).take(2).map(t => (t._1, t._2))
+    }.toSet
+    assert(got == wantNn)
+  }
 }
