@@ -277,6 +277,44 @@ object PipelineQueries {
        |ORDER BY doc_id, fp""".stripMargin
   }
 
+  // -------------------------------------------------- decontamination
+
+  /** Benchmark decontamination over the documents table: docs with
+    * doc_id ≡ 0 (mod 37) stand in for the held-out eval set; every other
+    * doc is corpus. Flag corpus docs sharing ≥ 2 distinct hashed 3-grams
+    * with any eval doc.
+    */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    PipelineOps.decontaminate(
+      d.where(col("doc_id") % 37 =!= 0),
+      d.where(col("doc_id") % 37 === 0),
+      n = 3, minOverlap = 2)
+      .orderBy("doc_id")
+  }
+
+  /** Twin of [[PipelineOps.decontaminate]]: the same distinct 31-bit
+    * hashed shingle space (`shd`), eval grams = the union over eval docs,
+    * overlap = corpus-gram ∩ eval-gram count per doc.
+    */
+  val decontaminateSql: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents
+       |           WHERE len(string_split(text, ' ')) >= 3),
+       |sh AS (SELECT DISTINCT doc_id,
+       |  unnest(list_transform(range(1, len(l) - 1),
+       |    i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS shingle FROM t),
+       |shd AS (SELECT DISTINCT doc_id,
+       |  ${OracleHash.polyHash31Sql("shingle")} AS sh31 FROM sh),
+       |ev AS (SELECT DISTINCT sh31 FROM shd WHERE doc_id % 37 = 0),
+       |cg AS (SELECT doc_id, sh31 FROM shd WHERE doc_id % 37 <> 0),
+       |cnt AS (SELECT doc_id, COUNT(*) AS n_grams FROM cg GROUP BY doc_id),
+       |ov AS (SELECT c.doc_id, COUNT(*) AS n_overlap FROM cg c
+       |  JOIN ev ON ev.sh31 = c.sh31 GROUP BY c.doc_id)
+       |SELECT o.doc_id, cnt.n_grams, o.n_overlap,
+       |  CAST(o.n_overlap AS DOUBLE) / cnt.n_grams AS frac
+       |FROM ov o JOIN cnt ON cnt.doc_id = o.doc_id
+       |WHERE o.n_overlap >= 2 ORDER BY o.doc_id""".stripMargin
+
   // --------------------------------------------------------- text stats
 
   def tokenStats(spark: SparkSession, dir: String): DataFrame =

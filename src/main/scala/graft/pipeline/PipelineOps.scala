@@ -440,6 +440,48 @@ object PipelineOps {
       .distinct()
   }
 
+  // ----------------------------------------------------- decontamination
+
+  /** Benchmark decontamination — the standard pre-training hygiene step:
+    * flag corpus documents sharing ≥ `minOverlap` distinct word n-grams
+    * with a held-out evaluation set, so eval answers never leak into the
+    * training corpus. Grams live in the 31-bit hashed shingle space
+    * ([[graft.functions.ShingleHash31s]] — one UTF-8 pass per doc, no
+    * shingle strings), the same declared representation the near-dup
+    * verify uses, so the operator carries an exact SQL twin (collisions
+    * are identical in both engines).
+    *
+    * Scale shape: the eval side is a benchmark suite — bounded by
+    * construction (thousands of docs, ≤ millions of distinct grams) — so
+    * its gram set BROADCASTS and the corpus-side grams are filtered
+    * map-side against it; the only full shuffle is the per-doc overlap
+    * count, which partial-aggregates before moving. Nothing in the plan
+    * scales with corpus × eval, and the corpus is touched exactly once.
+    *
+    * Output: (doc_id, n_grams, n_overlap, frac) for flagged corpus docs,
+    * where `frac` = n_overlap / n_grams over the doc's distinct grams.
+    */
+  def decontaminate(corpus: DataFrame, evalSet: DataFrame, n: Int = 3,
+      minOverlap: Long = 2): DataFrame = {
+    def grams(df: DataFrame) = df
+      .where(size(split(col("text"), " ")) >= n) // the shingles() short-doc gate
+      .select(col("doc_id"),
+        graft.functions.OracleHash.shingleHash31s(col("text"), n).as("hs"))
+    val evalGrams = grams(evalSet)
+      .select(explode(col("hs")).as("sh31")).distinct()
+    grams(corpus)
+      .select(col("doc_id"), size(col("hs")).cast("long").as("n_grams"),
+        explode(col("hs")).as("sh31"))
+      .join(broadcast(evalGrams), Seq("sh31")) // map-side gram filter
+      // per-doc gram hashes are already distinct (ShingleHash31s contract),
+      // so the overlap count is a plain count — no distinct aggregation
+      .groupBy("doc_id", "n_grams")
+      .agg(count(lit(1)).as("n_overlap"))
+      .where(col("n_overlap") >= minOverlap)
+      .withColumn("frac", col("n_overlap").cast("double") / col("n_grams"))
+      .select("doc_id", "n_grams", "n_overlap", "frac")
+  }
+
   // ----------------------------------------------------------- text stats
 
   /** Token/char statistics with integer-exact arithmetic (space counting —

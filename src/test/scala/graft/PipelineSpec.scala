@@ -676,4 +676,43 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows.map(r => (r.getDouble(2), r.getDouble(3))).distinct.length
       == rows.length)
   }
+
+  test("decontaminate: a planted eval copy is flagged at frac 1.0, a " +
+    "disjoint-vocabulary doc never; counts match a brute gram scan") {
+    import spark.implicits._
+    val evalSet = Seq(
+      (1000L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (1001L, "one two three four five six seven eight nine"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      // verbatim eval copy — the classic contamination case
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      // partial overlap: shares the grams of a 4-token eval span
+      (2L, "xx yy one two three four zz ww"),
+      // single-gram overlap: below minOverlap = 2, must NOT be flagged
+      (3L, "qq rr alpha beta gamma ss tt"),
+      // disjoint vocabulary: never flagged
+      (4L, "cat dog bird fish lion tiger bear wolf"),
+      // too short for a 3-gram at all
+      (5L, "hi yo"))
+      .toDF("doc_id", "text")
+    val got = PipelineOps.decontaminate(corpus, evalSet, n = 3, minOverlap = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).sortBy(_._1)
+
+    // brute reference over string 3-grams (no 31-bit collisions at this
+    // vocabulary size, so hashed and string gram spaces agree)
+    def grams(s: String): Set[String] =
+      s.split(" ").sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    val evGrams = evalSet.collect().flatMap(r => grams(r.getString(1))).toSet
+    val want = corpus.collect().map { r =>
+      val g = grams(r.getString(1))
+      (r.getLong(0), g.size.toLong, g.count(evGrams.contains).toLong)
+    }.filter(_._3 >= 2)
+      .map(t => (t._1, t._2, t._3, t._3.toDouble / t._2)).sortBy(_._1)
+
+    assert(got.toSeq == want.toSeq)
+    assert(got.map(_._1).toSet == Set(1L, 2L), s"flagged ${got.mkString(",")}")
+    assert(got.find(_._1 == 1L).get._4 == 1.0, "verbatim copy must be frac 1.0")
+  }
 }
