@@ -563,6 +563,78 @@ object PipelineQueries {
       MediaOps.resizeImages(MediaOps.pngTable(docs(spark, dir)), 2))
       .toDF().orderBy("media_id")
 
+  /** Resized copies carry media_id + 2^30 — disjoint from any doc_id at
+    * every test scale, same literal in the SQL twin.
+    */
+  private val PhashOffset = 1L << 30
+
+  /** Image perceptual near-dup: every 17th document's PNG plus its 2×
+    * box-filter-resized copy, dHash-pooled ([[MediaOps.perceptualHash]])
+    * and paired through the 12-bit Hamming bands. The oracle recomputes
+    * the 24-bit hash ARITHMETICALLY from the deterministic pixel rule
+    * (original and box-filtered grids), then applies the same bands and
+    * Hamming cut — so a green row certifies decode → pool → gradient
+    * bits → banding → verify end-to-end, integer-exactly.
+    */
+  def mediaPhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = docs(spark, dir).where(col("doc_id") % 17 === 0)
+    val base = MediaOps.pngTable(d)
+    val resized = MediaOps.resizeImages(base, 2)
+      .map(r => MediaOps.ImageRow(r.media_id + PhashOffset, r.payload))
+    val hashes = MediaOps.perceptualHash(base.unionByName(resized)).toDF()
+    MediaOps.phashDupPairs(hashes, maxDist = 3).orderBy("a", "b")
+  }
+
+  val mediaPhashSql: String = {
+    val grayOrig =
+      "((x*7 + y*13 + id) % 256) + ((x*3 + y*5 + 2*id) % 256) + " +
+        "((x*11 + y*2 + 3*id) % 256)"
+    def ch(a: Int, b: Int, idMul: Int): String = {
+      val terms = for (dx <- 0 to 1; dy <- 0 to 1)
+        yield s"((2*x+$dx)*$a + (2*y+$dy)*$b + $idMul*id) % 256"
+      s"(${terms.mkString(" + ")}) // 4"
+    }
+    val grayRs = s"${ch(7, 13, 1)} + ${ch(3, 5, 2)} + ${ch(11, 2, 3)}"
+    s"""WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 17 = 0),
+       |img AS (
+       |  SELECT doc_id AS media_id, doc_id AS id, 8 + doc_id % 16 AS w,
+       |         8 + doc_id % 12 AS h, 0 AS rs FROM ids
+       |  UNION ALL
+       |  SELECT doc_id + $PhashOffset, doc_id, (8 + doc_id % 16) // 2,
+       |         (8 + doc_id % 12) // 2, 1 FROM ids),
+       |bi AS (SELECT media_id, id, w, h, rs, unnest(range(0, 4)) AS i FROM img),
+       |bij AS (SELECT *, unnest(range(0, 4)) AS j FROM bi),
+       |cx AS (SELECT *, unnest(range((i*w+2)//4, ((i+1)*w+2)//4)) AS x FROM bij),
+       |cxy AS (SELECT *, unnest(range((j*h+2)//4, ((j+1)*h+2)//4)) AS y FROM cx),
+       |cells AS (SELECT media_id, i, j,
+       |    SUM(CASE WHEN rs = 0 THEN $grayOrig ELSE $grayRs END)
+       |      // COUNT(*) AS c
+       |  FROM cxy GROUP BY media_id, i, j),
+       |bits AS (
+       |  SELECT a.media_id, (1::BIGINT << CAST(a.j*3 + a.i AS INT)) AS v
+       |  FROM cells a JOIN cells b ON b.media_id = a.media_id
+       |    AND b.i = a.i + 1 AND b.j = a.j
+       |  WHERE a.i <= 2 AND b.c > a.c
+       |  UNION ALL
+       |  SELECT a.media_id, (1::BIGINT << CAST(12 + a.i*3 + a.j AS INT)) AS v
+       |  FROM cells a JOIN cells b ON b.media_id = a.media_id
+       |    AND b.i = a.i AND b.j = a.j + 1
+       |  WHERE a.j <= 2 AND b.c > a.c),
+       |hsh AS (SELECT i2.media_id, CAST(COALESCE(s.s, 0) AS BIGINT) AS phash
+       |  FROM img i2 LEFT JOIN (SELECT media_id, SUM(v) AS s FROM bits
+       |    GROUP BY media_id) s USING (media_id)),
+       |bb AS (SELECT media_id, phash,
+       |    unnest(range(0, 4)) AS band FROM hsh),
+       |bb2 AS (SELECT media_id, phash, band,
+       |    (phash >> CAST(band*6 AS INT)) & 63 AS bh FROM bb),
+       |pairs AS (SELECT DISTINCT x.media_id AS a, y.media_id AS b,
+       |    CAST(bit_count(xor(x.phash, y.phash)) AS BIGINT) AS dist
+       |  FROM bb2 x JOIN bb2 y ON x.band = y.band AND x.bh = y.bh
+       |    AND x.media_id < y.media_id)
+       |SELECT a, b, dist FROM pairs WHERE dist <= 3 ORDER BY a, b""".stripMargin
+  }
+
   val mediaResizeSql: String = {
     def ch(a: Int, b: Int, idMul: Int): String = {
       // floor-average over the 2x2 block of ((px*a + py*b + idMul*doc_id) % 256)

@@ -49,6 +49,7 @@ object SparkEntry {
     "q_token_stats" -> (PipelineQueries.tokenStats(_, _)),
     "q_token_bpe" -> (PipelineQueries.tokenBpe(_, _)),
     "q_decontaminate" -> (PipelineQueries.decontaminate(_, _)),
+    "q_media_phash" -> (PipelineQueries.mediaPhash(_, _)),
     "q_text_quality" -> (PipelineQueries.textQuality(_, _)),
     "q_lang_id" -> (PipelineQueries.langId(_, _)),
     "q_entity_cells" -> (PipelineQueries.entityCells(_, _)),
@@ -116,6 +117,7 @@ object SparkEntry {
     "q_token_stats" -> PipelineQueries.tokenStatsSql,
     "q_token_bpe" -> PipelineQueries.tokenBpeSql,
     "q_decontaminate" -> PipelineQueries.decontaminateSql,
+    "q_media_phash" -> PipelineQueries.mediaPhashSql,
     "q_text_quality" -> PipelineQueries.textQualitySql,
     "q_ann_topk" -> PipelineQueries.annTopKSql,
     "q_ann_ivf" -> PipelineQueries.annTopKSql, // exact: same answer as brute force

@@ -677,6 +677,63 @@ class PipelineSpec extends AnyFunSuite {
       == rows.length)
   }
 
+  test("perceptualHash: matches an independent local recompute; banded " +
+    "pair join is EXACT for d<=3 (pigeonhole); resized copies recalled") {
+    import spark.implicits._
+    import graft.pipeline.MediaOps
+    val ids = (0L until 200L).toDS()
+    val base = ids.map(id => MediaOps.ImageRow(id, MediaOps.syntheticPng(id)))
+    val resized = MediaOps.resizeImages(base, 2)
+      .map(r => MediaOps.ImageRow(r.media_id + (1L << 30), r.payload))
+    val all = base.unionByName(resized)
+    val hashes = MediaOps.perceptualHash(all).collect()
+      .map(h => h.media_id -> h.phash).toMap
+    assert(hashes.size == 400)
+    assert(hashes.values.forall(h => h >= 0L && h < (1L << 24)))
+
+    // independent recompute: decode locally, pool, gradient bits — a
+    // from-scratch implementation of the declared hash, not the operator
+    def localHash(payload: Array[Byte]): Long = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      val w = img.getWidth; val h = img.getHeight
+      def cell(i: Int, j: Int): Long = {
+        val xs = ((i * w + 2) / 4) until (((i + 1) * w + 2) / 4)
+        val ys = ((j * h + 2) / 4) until (((j + 1) * h + 2) / 4)
+        val grays = for (y <- ys; x <- xs) yield {
+          val rgb = img.getRGB(x, y)
+          (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)).toLong
+        }
+        grays.sum / grays.length
+      }
+      val c = Array.tabulate(4, 4)(cell)
+      (for (j <- 0 until 4; i <- 0 until 3; if c(i + 1)(j) > c(i)(j))
+        yield 1L << (j * 3 + i)).sum +
+        (for (i <- 0 until 4; j <- 0 until 3; if c(i)(j + 1) > c(i)(j))
+          yield 1L << (12 + i * 3 + j)).sum
+    }
+    all.collect().take(60).foreach { r =>
+      assert(hashes(r.media_id) == localHash(r.payload), s"id ${r.media_id}")
+    }
+
+    // pigeonhole exactness: banded output == brute all-pairs cut
+    val got = MediaOps.phashDupPairs(
+      MediaOps.perceptualHash(all).toDF(), maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val hs = hashes.toArray.sortBy(_._1)
+    val want = (for {
+      ai <- hs.indices; bi <- (ai + 1) until hs.length
+      d = java.lang.Long.bitCount(hs(ai)._2 ^ hs(bi)._2)
+      if d <= 3
+    } yield (hs(ai)._1, hs(bi)._1, d.toLong)).toSet
+    assert(got == want, s"banded join must be exact: got ${got.size} want ${want.size}")
+
+    // recall: a 2x box-filtered copy is a near-dup of its original
+    val recalled = got.count(p => p._2 - p._1 == (1L << 30))
+    assert(recalled >= 170,
+      s"resized-duplicate recall $recalled/200 below 0.85")
+  }
+
   test("decontaminate: a planted eval copy is flagged at frac 1.0, a " +
     "disjoint-vocabulary doc never; counts match a brute gram scan") {
     import spark.implicits._
