@@ -335,6 +335,26 @@ object PipelineQueries {
       |    w -> (length(w) + 3) // 4)), 0) AS BIGINT) AS n_bpe
       |FROM p ORDER BY doc_id""".stripMargin
 
+  /** Real iterative BPE (the merge table actually applied, rank order
+    * load-bearing) — twin generated from the SAME merge list as the
+    * engine plan, as a nested replace() chain.
+    */
+  def tokenBpe2(spark: SparkSession, dir: String): DataFrame =
+    PipelineOps.tokenBpe2(docs(spark, dir)).orderBy("doc_id")
+
+  val tokenBpe2Sql: String = {
+    val seed = """'  ' || regexp_replace(replace(text, ' ', '_'), '(.)', '\1  ', 'g')"""
+    val merged = PipelineOps.defaultBpeMerges.foldLeft(seed) {
+      case (s, (x, y)) => s"replace($s, ' $x  $y ', ' $x$y ')"
+    }
+    s"""WITH m AS (SELECT doc_id, text, $merged AS s FROM documents)
+       |SELECT doc_id,
+       |  CAST((length(s) - length(replace(s, ' ', ''))) // 2 - 1
+       |    - (length(text) - length(replace(text, ' ', ''))) AS BIGINT)
+       |    AS n_bpe2
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
   val tokenStatsSql: String =
     """SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS n_chars,
       | CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS BIGINT) AS n_tokens

@@ -48,6 +48,7 @@ object SparkEntry {
     "q_fingerprints" -> (PipelineQueries.fingerprints(_, _)),
     "q_token_stats" -> (PipelineQueries.tokenStats(_, _)),
     "q_token_bpe" -> (PipelineQueries.tokenBpe(_, _)),
+    "q_token_bpe2" -> (PipelineQueries.tokenBpe2(_, _)),
     "q_decontaminate" -> (PipelineQueries.decontaminate(_, _)),
     "q_media_phash" -> (PipelineQueries.mediaPhash(_, _)),
     "q_text_quality" -> (PipelineQueries.textQuality(_, _)),
@@ -116,6 +117,7 @@ object SparkEntry {
     "q_fingerprints" -> PipelineQueries.fingerprintsSql,
     "q_token_stats" -> PipelineQueries.tokenStatsSql,
     "q_token_bpe" -> PipelineQueries.tokenBpeSql,
+    "q_token_bpe2" -> PipelineQueries.tokenBpe2Sql,
     "q_decontaminate" -> PipelineQueries.decontaminateSql,
     "q_media_phash" -> PipelineQueries.mediaPhashSql,
     "q_text_quality" -> PipelineQueries.textQualitySql,

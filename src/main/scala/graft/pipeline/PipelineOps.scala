@@ -515,6 +515,50 @@ object PipelineOps {
         .as("n_bpe"))
   }
 
+  /** The default BPE merge table: a small deterministic rank-ordered
+    * list learned-by-hand for the fixture vocabulary, WELL-FORMED (every
+    * pair's components are single characters or outputs of earlier
+    * merges), which is the property real learned merge lists have by
+    * construction — and under which rank-order exhaustive application
+    * equals the classic lowest-rank-first encode loop.
+    */
+  val defaultBpeMerges: Seq[(String, String)] = Seq(
+    ("t", "h"), ("th", "e"), ("e", "r"), ("a", "n"), ("s", "c"),
+    ("sc", "an"), ("o", "r"), ("or", "t"), ("a", "t"), ("t", "a"),
+    ("s", "m"), ("a", "l"), ("l", "e"), ("b", "at"), ("r", "o"),
+    ("w", "i"))
+
+  /** REAL iterative BPE token counting — unlike [[tokenBpe]]'s ceil
+    * bound, this APPLIES a merge table: the text is rendered as
+    * double-space-delimited symbols (spaces first mapped to `_`, a
+    * symbol no merge touches, so merges never cross word boundaries and
+    * the delimiter stays unambiguous), then each merge in rank order
+    * rewrites `␣x␣␣y␣` → `␣xy␣` — a single non-overlapping left-to-right
+    * string replace, which for a delimited symbol stream is exactly the
+    * exhaustive application of that merge (the doubled boundary space
+    * means consuming a match never starves the next one). n_bpe2 = final
+    * symbol count minus the `_` separators. Merge order is load-bearing:
+    * a later merge can consume a pair an earlier one produced, so
+    * permuting ranks changes counts. Everything is codegen'd string
+    * arithmetic with an exact generated SQL twin (the same nested
+    * replace chain).
+    */
+  def tokenBpe2(docs: DataFrame,
+      merges: Seq[(String, String)] = defaultBpeMerges): DataFrame = {
+    val safe = call_function("replace", col("text"), lit(" "), lit("_"))
+    val seed = concat(lit("  "), regexp_replace(safe, "(.)", "$1  "))
+    val merged = merges.foldLeft(seed) { case (s, (x, y)) =>
+      call_function("replace", s, lit(s" $x  $y "), lit(s" $x$y "))
+    }
+    val spaces = length(merged) -
+      length(call_function("replace", merged, lit(" "), lit("")))
+    val seps = length(col("text")) -
+      length(call_function("replace", col("text"), lit(" "), lit("")))
+    docs.select(col("doc_id"),
+      (shiftright(spaces.cast("long"), 1) - lit(1L) - seps.cast("long"))
+        .as("n_bpe2"))
+  }
+
   /** Quality scores: exact integer counts plus IEEE-exact ratios. */
   def textQuality(docs: DataFrame): DataFrame = {
     val chars = length(col("text")).cast("long")

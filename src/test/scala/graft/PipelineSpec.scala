@@ -734,6 +734,55 @@ class PipelineSpec extends AnyFunSuite {
       s"resized-duplicate recall $recalled/200 below 0.85")
   }
 
+  test("tokenBpe2: counts equal a symbol-level reference BPE; merge ORDER " +
+    "changes the count; real docs diverge from the ceil bound") {
+    import spark.implicits._
+    // symbol-level reference: one non-overlapping left-to-right pass per
+    // merge, rank order — an independent implementation of the declared
+    // semantics (lists of symbols, no string-delimiter machinery)
+    def bpeRef(text: String, merges: Seq[(String, String)]): Long = {
+      var syms: List[String] = text.replace(' ', '_').map(_.toString).toList
+      merges.foreach { case (x, y) =>
+        val out = scala.collection.mutable.ListBuffer.empty[String]
+        var rest = syms
+        while (rest.nonEmpty) rest match {
+          case a :: b :: t if a == x && b == y => out += (x + y); rest = t
+          case a :: t => out += a; rest = t
+          case Nil =>
+        }
+        syms = out.toList
+      }
+      syms.count(_ != "_").toLong
+    }
+
+    val real = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val got = PipelineOps.tokenBpe2(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    real.foreach { case (id, text) =>
+      assert(got(id) == bpeRef(text, PipelineOps.defaultBpeMerges),
+        s"doc $id")
+    }
+
+    // merge order is load-bearing: with (a,b) ranked before (ab,c) the
+    // doc "abc" fully merges to ONE token; rank-inverted, (ab,c) runs
+    // before any "ab" symbol exists and the count is TWO
+    val tiny = Seq((0L, "abc")).toDF("doc_id", "text")
+    def count(ms: Seq[(String, String)]): Long =
+      PipelineOps.tokenBpe2(tiny, ms).collect()(0).getLong(1)
+    assert(count(Seq(("a", "b"), ("ab", "c"))) == 1L)
+    assert(count(Seq(("ab", "c"), ("a", "b"))) == 2L)
+
+    // and the iterative count is NOT the ceil approximation: some real
+    // doc must differ from tokenBpe's bound (e.g. "the" is one merge
+    // chain = 1 token, the ceil bound also says 1 — but "customer" is
+    // c|u|st?... the merge list only compresses what it knows)
+    val ceil = PipelineOps.tokenBpe(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(real.exists { case (id, _) => got(id) != ceil(id) },
+      "iterative BPE must diverge from the ceil bound somewhere")
+  }
+
   test("decontaminate: a planted eval copy is flagged at frac 1.0, a " +
     "disjoint-vocabulary doc never; counts match a brute gram scan") {
     import spark.implicits._
