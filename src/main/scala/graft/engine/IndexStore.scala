@@ -103,6 +103,13 @@ object IndexStore {
       .sortBy(t => (t._1, t._2))
   }
 
+  /** Number of committed stages (base + appends + compactions) — the LSM
+    * depth a maintenance scheduler triggers on; a probe unions exactly
+    * this many stages before latest-wins.
+    */
+  def generationCount(spark: SparkSession, root: String): Int =
+    generations(spark, root).size
+
   /** Retire a stage crash-safely: the commit MARKERS go first, so a kill
     * mid-retirement leaves either an invisible orphan directory (markers
     * gone — `generations` no longer lists it) or a still-consistent

@@ -206,9 +206,19 @@ object StreamOps {
     * per group (Checkpoint), so a replayed batch re-runs only its
     * uncommitted groups — the standard idempotent-sink pattern with the
     * generation number as the batch fence.
+    *
+    * COMPACTION SCHEDULING: every probe unions the committed stages
+    * before latest-wins, so an unbounded append stream degrades reads
+    * linearly in batch count. When the store reaches `compactEvery`
+    * committed stages, the sink runs [[graft.engine.IndexStore.compact]]
+    * inside the same `foreachBatch` — the LSM merge amortized over the
+    * stream. Crash-safety is inherited, not new: a kill mid-compaction
+    * leaves a masked partial stage the next trigger subsumes, and a
+    * replayed batch whose generations were compacted away is dominated
+    * by the compacted stage (kindRank). `compactEvery = 0` disables.
     */
   def indexSink(points: DataFrame, grid: CellGrid, root: String,
-      nGroups: Int = 8): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      nGroups: Int = 8, compactEvery: Int = 8): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     points.writeStream.foreachBatch { (df: DataFrame, batchId: Long) =>
       val spark = df.sparkSession
       import spark.implicits._
@@ -219,6 +229,9 @@ object StreamOps {
       else
         graft.engine.IndexStore.append(spark, pts, grid, root,
           gen = batchId.toInt, nGroups)
+      if (compactEvery > 0 &&
+          graft.engine.IndexStore.generationCount(spark, root) >= compactEvery)
+        graft.engine.IndexStore.compact(spark, root, nGroups)
       ()
     }
 }

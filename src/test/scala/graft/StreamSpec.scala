@@ -267,4 +267,61 @@ class StreamSpec extends AnyFunSuite {
     }
     Seq(dir, ckpt, root, rootF).foreach(d => rm(new java.io.File(d)))
   }
+
+  test("index sink compaction scheduling: the stage count triggers the LSM " +
+    "merge mid-stream, retires the olds, and probes stay exact") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    import graft.engine.{IndexStore, PointRow}
+    val dir = java.nio.file.Files.createTempDirectory("graft_sidc").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sidc_c").toString
+    val root = java.nio.file.Files.createTempDirectory("graft_sidc_r").toString
+    val rootF = java.nio.file.Files.createTempDirectory("graft_sidc_f").toString
+    val grid = CellGrid.lonLat(4)
+    def pts(lo: Long, hi: Long) = spark.range(lo, hi).map { id =>
+      PointRow(id,
+        graft.data.PagesGen.uniform(id, 1) * 360.0 - 180.0,
+        graft.data.PagesGen.uniform(id, 2) * 170.0 - 85.0)
+    }
+    pts(0, 1500).toDF().write.mode("overwrite").parquet(dir)
+    val schema = pts(0, 1).toDF().schema
+    val q = StreamOps.indexSink(
+        spark.readStream.schema(schema).parquet(dir), grid, root,
+        nGroups = 2, compactEvery = 3)
+      .option("checkpointLocation", ckpt)
+      .start()
+    q.processAllAvailable() // batch 0: base build (1 stage)
+    def stages(): Seq[String] = new java.io.File(root).listFiles()
+      .filter(_.isDirectory).map(_.getName)
+      .filter(n => n == "trees" || n.startsWith("trees_")).sorted.toSeq
+    (1 to 5).foreach { k =>
+      pts(1500 + 500 * (k - 1), 1500 + 500 * k).toDF()
+        .write.mode("append").parquet(dir)
+      q.processAllAvailable()
+    }
+    q.stop()
+    // the scheduler must have fired: at least one compaction stage exists,
+    // the retired generations are gone, and the LSM depth stays bounded by
+    // the trigger (the file source may split the six writes into more
+    // micro-batches than one each, so assert structure, not stage names)
+    val s = stages()
+    assert(s.exists(_.startsWith("trees_c")),
+      s"no compaction stage ever committed: $s")
+    assert(!s.contains("trees") && !s.contains("trees_g1"),
+      s"early generations must be retired: $s")
+    assert(IndexStore.generationCount(spark, root) <= 3,
+      s"LSM depth must stay bounded by the trigger, got $s")
+    // probes after mid-stream compactions == a flat build over everything
+    IndexStore.build(spark, pts(0, 4000), grid, rootF, nGroups = 2)
+    def rq(r: String) = IndexStore.rangeQuery(spark, r, grid,
+        -170.0, -80.0, 170.0, 80.0)
+      .collect().map(x => (x.getLong(0), x.getDouble(1), x.getDouble(2)))
+      .toSet
+    assert(rq(root) == rq(rootF))
+    assert(rq(root).nonEmpty)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+    }
+    Seq(dir, ckpt, root, rootF).foreach(d => rm(new java.io.File(d)))
+  }
 }
