@@ -185,12 +185,26 @@ object Bench {
       else Map.empty
     }
     val slow = scala.collection.mutable.ArrayBuffer.empty[String]
+    // Operator-vs-harness split for the q_stream_* queries: their wall
+    // time is dominated by the per-invocation test harness (temp dirs,
+    // file-source listing, processAllAvailable, memory-sink collect);
+    // the operator cost is the summed micro-batch triggerExecution time
+    // StreamMetrics captures. Both numbers are published, and the budget
+    // gate tracks the OPERATOR number — that's what a regression moves;
+    // the harness cost is constant-per-invocation and scale-free.
+    val streamOp = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    def opSecOf(name: String): Double =
+      if (name.startsWith("q_stream"))
+        graft.streaming.StreamMetrics.lastOpSeconds
+      else -1.0
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def timed(): Double = {
+      def timed(): (Double, Double) = {
+        graft.streaming.StreamMetrics.lastOpSeconds = -1.0 // no stale carryover
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()
-        (System.nanoTime() - t0) / 1e9
+        ((System.nanoTime() - t0) / 1e9, opSecOf(name))
       }
+      def gateSec(t: Double, op: Double): Double = if (op >= 0) op else t
       try {
         fn(spark, sfDir).count() // adjacent warm (see above)
         // Collect BETWEEN measurements (standard benchmark hygiene): the
@@ -201,12 +215,15 @@ object Bench {
         // on otherwise-3 s queries). After the warm, so the timed run
         // starts on a clean heap AND a hot cache.
         System.gc()
-        var t = timed()
-        if (isSlow(name, t, budget)) {
+        var (t, op) = timed()
+        if (isSlow(name, gateSec(t, op), budget)) {
           System.gc() // one retry: don't let a single load spike flag it
-          t = math.min(t, timed())
-          if (isSlow(name, t, budget)) slow += name
+          val (t2, op2) = timed()
+          t = math.min(t, t2)
+          if (op >= 0) op = math.min(op, op2)
+          if (isSlow(name, gateSec(t, op), budget)) slow += name
         }
+        if (op >= 0) streamOp(name) = op
         name -> t
       } catch { case _: Throwable => failed += name; name -> -1.0 }
     }
@@ -294,6 +311,9 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
+    val streamOpJson = streamOp.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+      .mkString("{", ",", "}")
     val total = results.filter(_._2 >= 0).map(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val slowJson = slow.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -301,6 +321,6 @@ object Bench {
     val scaling =
       f"""{"cores_lo":$loN,"cores_hi":$hiN,"mrows_s_lo":$tputLoMed%.4f,"mrows_s_hi":$tputHiMed%.4f,"mrows_s_lo_best":$tputLoBest%.4f,"mrows_s_hi_best":$tputHiBest%.4f,"efficiency":$eff%.3f,"efficiency_best_levels":$effBestLevels%.3f,"pair_efficiencies":$effsJson,"peak_cores":$peakN,"mrows_s_peak":$tputPeak%.4f,"pages":$nPages}"""
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"slow":$slowJson,"sf":"$sfDir","throughput_mrows_s":$tputPeak%.4f,"scaling":$scaling}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"stream_op":$streamOpJson,"failed":$failedJson,"slow":$slowJson,"sf":"$sfDir","throughput_mrows_s":$tputPeak%.4f,"scaling":$scaling}""")
   }
 }

@@ -27,13 +27,17 @@ object BenchOne {
       val fn = SparkEntry.queries(name)
       fn(spark, sfDir).count() // warm (JIT + listing)
       val times = (1 to reps).map { _ =>
+        graft.streaming.StreamMetrics.lastOpSeconds = -1.0
         val t0 = System.nanoTime()
         val n = fn(spark, sfDir).count()
-        (System.nanoTime() - t0) / 1e9 -> n
+        ((System.nanoTime() - t0) / 1e9,
+          graft.streaming.StreamMetrics.lastOpSeconds, n)
       }
       val best = times.map(_._1).min
-      println(f"BENCHONE $name%-20s best=$best%.3f s  runs=${
-        times.map(t => f"${t._1}%.3f").mkString(",")}  rows=${times.head._2}")
+      val opBest = times.map(_._2).filter(_ >= 0).minOption
+      println(f"BENCHONE $name%-20s best=$best%.3f s${
+        opBest.fold("")(o => f"  op=$o%.3f s")}  runs=${
+        times.map(t => f"${t._1}%.3f").mkString(",")}  rows=${times.head._3}")
     }
     spark.stop()
   }

@@ -720,6 +720,7 @@ object PipelineQueries {
         .select((col("doc_id") + lit(10000000L)).as("doc_id"), col("text"))
         .write.mode("append").parquet(inDir)
       q.processAllAvailable()
+      graft.streaming.StreamMetrics.record(q)
       q.stop()
       // materialize the (small, bounded: one row per distinct content) sink
       // table — Bench re-invokes this query several times per run and must
@@ -783,6 +784,7 @@ object PipelineQueries {
       q.processAllAvailable() // micro-batch 1: even-keyed points
       pts.where(col("id") % 2 =!= 0).write.mode("append").parquet(inDir)
       q.processAllAvailable() // micro-batch 2: the rest
+      graft.streaming.StreamMetrics.record(q)
       q.stop()
       val out = spark.table(tag).orderBy("id", "gid")
       val rows = out.collect().toSeq
@@ -854,6 +856,7 @@ object PipelineQueries {
       ents.where(col("event_id") % 4 === 0).drop("event_id")
         .write.mode("append").parquet(inDir)
       q.processAllAvailable()
+      graft.streaming.StreamMetrics.record(q)
       q.stop()
       val out = spark.table(tag).orderBy("win_start", "cell")
       val rows = out.collect().toSeq
@@ -930,6 +933,7 @@ object PipelineQueries {
       q.processAllAvailable() // micro-batch 0: bulk-build the base store
       pts.where(col("id") % 2 =!= 0).write.mode("append").parquet(inDir)
       q.processAllAvailable() // micro-batch 1: generational append
+      graft.streaming.StreamMetrics.record(q)
       q.stop()
       // serve from the STORE (generational view), not from the stream
       val out = graft.engine.IndexStore.rangeQuery(spark, root, Queries.grid,
