@@ -360,6 +360,31 @@ object PipelineQueries {
       | CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS BIGINT) AS n_tokens
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  def repStats(spark: SparkSession, dir: String): DataFrame =
+    PipelineOps.repetitionStats(docs(spark, dir)).orderBy("doc_id")
+
+  /** Twin of [[PipelineOps.repetitionStats]]: grouped counts over the
+    * same gram multisets (the operator folds sorted in-row arrays — the
+    * max-multiplicity and distinct counts agree on any plan; the
+    * fraction is one correctly-rounded division both sides).
+    */
+  val repStatsSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents
+      |           WHERE len(string_split(text, ' ')) >= 3),
+      |bi AS (SELECT doc_id, unnest(list_transform(range(1, len(l)),
+      |  i -> l[i] || ' ' || l[i+1])) AS g FROM t),
+      |bic AS (SELECT doc_id, g, COUNT(*) AS c FROM bi GROUP BY 1, 2),
+      |bim AS (SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_bi,
+      |  CAST(SUM(c) AS BIGINT) AS n_bi FROM bic GROUP BY doc_id),
+      |tri AS (SELECT doc_id, unnest(list_transform(range(1, len(l) - 1),
+      |  i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS g FROM t),
+      |trw AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tri,
+      |  CAST(COUNT(*) - COUNT(DISTINCT g) AS BIGINT) AS dup_tri
+      |  FROM tri GROUP BY doc_id)
+      |SELECT b.doc_id, b.n_bi, b.top_bi, t2.n_tri, t2.dup_tri,
+      |  CAST(b.top_bi AS DOUBLE) / b.n_bi AS top_bi_frac
+      |FROM bim b JOIN trw t2 USING (doc_id) ORDER BY doc_id""".stripMargin
+
   def textQuality(spark: SparkSession, dir: String): DataFrame =
     PipelineOps.textQuality(docs(spark, dir)).orderBy("doc_id")
 
@@ -537,6 +562,44 @@ object PipelineQueries {
       | MIN(value) AS min_v, MAX(value) AS max_v
       |FROM events GROUP BY date_trunc('hour', ts), event_type
       |ORDER BY hour, event_type""".stripMargin
+
+  /** As-of join over the events table: each click's latest preceding
+    * purchase by the same user (inclusive at equal ts, largest rid on
+    * exact ties — ts are synthesized distinct, so the tiebreak is
+    * determinism armor, not load-bearing).
+    */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = load(spark, dir, "events")
+    PipelineOps.asofJoin(
+      ev.where(col("event_type") === "click"),
+      ev.where(col("event_type") === "purchase"),
+      key = "user_id", ts = "ts", leftId = "event_id",
+      rightId = "event_id", rightVal = "value")
+      .withColumnRenamed("lid", "event_id")
+      .orderBy("event_id")
+  }
+
+  /** Twin of [[PipelineOps.asofJoin]]: the same union + running
+    * last-non-null construction (DuckDB's native ASOF JOIN can't pin the
+    * equal-ts id tiebreak, so the twin mirrors the declared semantics
+    * directly).
+    */
+  val asofJoinSql: String =
+    """WITH r AS (SELECT user_id, ts, 0 AS side, NULL::BIGINT AS lid,
+      |  event_id AS rid, value AS rval FROM events
+      |  WHERE event_type = 'purchase'),
+      |l AS (SELECT user_id, ts, 1 AS side, event_id AS lid,
+      |  NULL::BIGINT AS rid, NULL::DOUBLE AS rval FROM events
+      |  WHERE event_type = 'click'),
+      |u AS (SELECT * FROM r UNION ALL SELECT * FROM l),
+      |w AS (SELECT *,
+      |  last_value(rid IGNORE NULLS) OVER win AS asof_id,
+      |  last_value(rval IGNORE NULLS) OVER win AS asof_val
+      |  FROM u WINDOW win AS (PARTITION BY user_id
+      |    ORDER BY ts, side, coalesce(rid, lid)
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT lid AS event_id, user_id, ts, asof_id, asof_val
+      |FROM w WHERE side = 1 ORDER BY event_id""".stripMargin
 
   // -------------------------------------------------------- multimodal
 

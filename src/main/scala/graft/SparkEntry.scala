@@ -52,6 +52,8 @@ object SparkEntry {
     "q_decontaminate" -> (PipelineQueries.decontaminate(_, _)),
     "q_media_phash" -> (PipelineQueries.mediaPhash(_, _)),
     "q_text_quality" -> (PipelineQueries.textQuality(_, _)),
+    "q_rep_stats" -> (PipelineQueries.repStats(_, _)),
+    "q_asof_join" -> (PipelineQueries.asofJoin(_, _)),
     "q_lang_id" -> (PipelineQueries.langId(_, _)),
     "q_entity_cells" -> (PipelineQueries.entityCells(_, _)),
     "q_ann_topk" -> (PipelineQueries.annTopK(_, _)),
@@ -121,6 +123,8 @@ object SparkEntry {
     "q_decontaminate" -> PipelineQueries.decontaminateSql,
     "q_media_phash" -> PipelineQueries.mediaPhashSql,
     "q_text_quality" -> PipelineQueries.textQualitySql,
+    "q_rep_stats" -> PipelineQueries.repStatsSql,
+    "q_asof_join" -> PipelineQueries.asofJoinSql,
     "q_ann_topk" -> PipelineQueries.annTopKSql,
     "q_ann_ivf" -> PipelineQueries.annTopKSql, // exact: same answer as brute force
     "q_ann_lsh_topk" -> PipelineQueries.annLshTopKSql,

@@ -559,6 +559,83 @@ object PipelineOps {
         .as("n_bpe2"))
   }
 
+  /** Gopher-style repetition-quality statistics (Rae et al. 2021, §A1 —
+    * the standard web-corpus repetition filters): per doc, the most
+    * frequent word-bigram's multiplicity (`top_bi`), the bigram count,
+    * the number of trigram occurrences beyond the first of each distinct
+    * trigram (`dup_tri`), and the top-bigram fraction. High `top_bi_frac`
+    * marks boilerplate/looping spam; a cleaning pass thresholds on it.
+    *
+    * Scale shape: every statistic is computed INSIDE its own row — the
+    * doc's gram array is sorted and folded for the longest equal run
+    * (== max multiplicity), so the operator is a ZERO-shuffle map over
+    * the corpus. The alternative (explode to a (doc, gram) stream and
+    * count) shuffles ~n_words rows per doc — at 100 TB that exchange is
+    * many times the corpus bytes, all to compute doc-local counts. The
+    * fraction is one correctly-rounded division of two exact integers,
+    * so the DuckDB twin (grouped counts over the same multiset) is
+    * bit-exact regardless of its plan.
+    */
+  def repetitionStats(docs: DataFrame): DataFrame = {
+    val ws = split(col("text"), " ")
+    def grams(k: Int): Column =
+      transform(sequence(lit(0), size(ws) - lit(k)),
+        i => concat_ws(" ",
+          (0 until k).map(j => element_at(ws, i + lit(j + 1))): _*))
+    // longest equal-run in the SORTED gram array == max gram multiplicity
+    def maxMult(g: Column): Column = aggregate(
+      array_sort(g),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (st, x) => {
+        val run = when(st.getField("prev") === x, st.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(st.getField("best"), run).as("best"))
+      },
+      st => st.getField("best"))
+    docs
+      .where(size(ws) >= 3)
+      .select(col("doc_id"),
+        (size(ws) - 1).cast("long").as("n_bi"),
+        maxMult(grams(2)).as("top_bi"),
+        (size(ws) - 2).cast("long").as("n_tri"),
+        (size(ws) - 2 - size(array_distinct(grams(3)))).cast("long")
+          .as("dup_tri"))
+      .withColumn("top_bi_frac", col("top_bi").cast("double") / col("n_bi"))
+  }
+
+  /** As-of join — for each left row, the latest right row with the same
+    * key and `ts_r <= ts_l` (the classic time-series operator Spark has
+    * no native form for; DuckDB spells it `ASOF JOIN`). ONE shuffle and
+    * NO range explosion: both sides union tagged, and within each key
+    * the running last-non-null right payload — in (ts, side, id) order,
+    * right rows sorting before left at equal ts so the match is
+    * inclusive — IS the as-of value at every left row. The window
+    * machinery does the sort-merge; at 100 TB each row moves once, on
+    * the join key, and skew handling is whatever the key's hash
+    * partitioning gives (AQE skew-split applies as usual). Ties at
+    * identical (key, ts) resolve to the largest right id, pinned by the
+    * id in the sort so the result is deterministic on any input.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
+      leftId: String, rightId: String, rightVal: String): DataFrame = {
+    val r = right.select(col(key), col(ts), lit(0).as("side"),
+      lit(null).cast("long").as("lid"),
+      col(rightId).cast("long").as("rid"), col(rightVal).as("rval"))
+    val l = left.select(col(key), col(ts), lit(1).as("side"),
+      col(leftId).cast("long").as("lid"),
+      lit(null).cast("long").as("rid"),
+      lit(null).cast(right.schema(rightVal).dataType).as("rval"))
+    val w = Window.partitionBy(key)
+      .orderBy(col(ts), col("side"), coalesce(col("rid"), col("lid")))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    r.unionByName(l)
+      .withColumn("asof_id", last(col("rid"), ignoreNulls = true).over(w))
+      .withColumn("asof_val", last(col("rval"), ignoreNulls = true).over(w))
+      .where(col("side") === 1)
+      .select(col("lid"), col(key), col(ts), col("asof_id"), col("asof_val"))
+  }
+
   /** Quality scores: exact integer counts plus IEEE-exact ratios. */
   def textQuality(docs: DataFrame): DataFrame = {
     val chars = length(col("text")).cast("long")

@@ -821,4 +821,71 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.map(_._1).toSet == Set(1L, 2L), s"flagged ${got.mkString(",")}")
     assert(got.find(_._1 == 1L).get._4 == 1.0, "verbatim copy must be frac 1.0")
   }
+
+  test("repetitionStats: in-row sorted-fold counts equal a brute local " +
+    "gram recount on fixtures and the corpus") {
+    val sp = spark
+    import sp.implicits._
+    val fix = Seq(
+      (1L, "a b a b a b c"),            // top bigram "a b" x3
+      (2L, "x x x x"),                  // "x x" x3, trigram "x x x" x2
+      (3L, "p q r"),                    // no repetition: top_bi 1, dup 0
+      (4L, "w w"),                      // below the 3-word gate: dropped
+      (5L, "m n m n m n m n m n")       // heavy looping
+    ).toDF("doc_id", "text")
+    def brute(text: String): Option[(Long, Long, Long, Long, Double)] = {
+      val w = text.split(" ")
+      if (w.length < 3) None else {
+        val bi = w.sliding(2).map(_.mkString(" ")).toSeq
+        val tri = w.sliding(3).map(_.mkString(" ")).toSeq
+        val top = bi.groupBy(identity).values.map(_.size).max.toLong
+        Some((bi.size.toLong, top, tri.size.toLong,
+          (tri.size - tri.distinct.size).toLong, top.toDouble / bi.size))
+      }
+    }
+    for (df <- Seq(fix, docs.select("doc_id", "text"))) {
+      val got = PipelineOps.repetitionStats(df).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getDouble(5)))).toMap
+      val want = df.collect()
+        .flatMap(r => brute(r.getString(1)).map(r.getLong(0) -> _)).toMap
+      assert(got == want)
+    }
+    val fixGot = PipelineOps.repetitionStats(fix).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(fixGot == Map(1L -> 3L, 2L -> 3L, 3L -> 1L, 5L -> 5L))
+  }
+
+  test("asofJoin: window construction equals a brute per-row scan, incl. " +
+    "equal-ts inclusive match and no-match nulls") {
+    val sp = spark
+    import sp.implicits._
+    val rnd = new scala.util.Random(7)
+    val rights = (0 until 60).map(i =>
+      (100L + i, rnd.nextInt(5).toLong, rnd.nextInt(50).toLong, i * 1.5))
+    // lefts share the ts domain; ids disjoint from rights; include EXACT
+    // right-ts collisions (inclusive semantics) and pre-history rows
+    val lefts = (0 until 40).map { i =>
+      val ts = if (i % 5 == 0) rights(i % rights.size)._3
+               else rnd.nextInt(55).toLong - 2
+      (1000L + i, rnd.nextInt(5).toLong, ts)
+    }
+    val rdf = rights.toDF("event_id", "user_id", "ts", "value")
+    val ldf = lefts.toDF("event_id", "user_id", "ts")
+    val got = PipelineOps.asofJoin(ldf, rdf, "user_id", "ts",
+        "event_id", "event_id", "value").collect()
+      .map(r => r.getLong(0) -> ((Option(r.get(3)).map(_.asInstanceOf[Long]),
+        Option(r.get(4)).map(_.asInstanceOf[Double])))).toMap
+    val want = lefts.map { case (lid, u, ts) =>
+      val cand = rights.filter(r => r._2 == u && r._3 <= ts)
+      val best = if (cand.isEmpty) None
+        else Some(cand.maxBy(r => (r._3, r._1))) // latest ts, largest id tie
+      lid -> ((best.map(_._1), best.map(_._4)))
+    }.toMap
+    assert(got == want)
+    assert(want.values.exists(_._1.isEmpty), "fixture needs no-match rows")
+    assert(lefts.exists { case (_, u, ts) =>
+      rights.exists(r => r._2 == u && r._3 == ts) },
+      "fixture needs an equal-ts inclusive match")
+  }
 }
