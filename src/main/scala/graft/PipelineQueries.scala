@@ -601,6 +601,51 @@ object PipelineQueries {
       |SELECT lid AS event_id, user_id, ts, asof_id, asof_val
       |FROM w WHERE side = 1 ORDER BY event_id""".stripMargin
 
+  /** Gap-based sessions over the events table (30-minute gap — the
+    * classic web-analytics default).
+    */
+  def sessionize(spark: SparkSession, dir: String): DataFrame =
+    PipelineOps.sessionize(load(spark, dir, "events"), gapSec = 1800L)
+      .orderBy("user_id", "sess_idx")
+
+  /** Twin of [[PipelineOps.sessionize]]: the same lag + running-sum
+    * construction on microsecond BIGINTs (ties pinned by event_id; the
+    * synthesized ts are distinct per user, so that's determinism armor).
+    */
+  val sessionizeSql: String =
+    """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
+      |m AS (SELECT *, CASE WHEN lag(tus) OVER win IS NULL
+      |    OR tus - lag(tus) OVER win > 1800000000 THEN 1 ELSE 0 END AS ns
+      |  FROM e WINDOW win AS (PARTITION BY user_id ORDER BY tus, event_id)),
+      |s AS (SELECT *, SUM(ns) OVER (PARTITION BY user_id
+      |    ORDER BY tus, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_idx
+      |  FROM m)
+      |SELECT user_id, CAST(sess_idx AS BIGINT) AS sess_idx,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events, MIN(tus) AS start_us,
+      |  MAX(tus) - MIN(tus) AS dur_us
+      |FROM s GROUP BY user_id, sess_idx
+      |ORDER BY user_id, sess_idx""".stripMargin
+
+  /** Corpus-frequency rarity score over the documents table. */
+  def rarityScore(spark: SparkSession, dir: String): DataFrame =
+    PipelineOps.rarityScore(docs(spark, dir)).orderBy("doc_id")
+
+  /** Twin of [[PipelineOps.rarityScore]]: the same two-pass count/join
+    * on exact integers; the average is one correctly-rounded division.
+    */
+  val rarityScoreSql: String =
+    """WITH dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      |  FROM documents),
+      |c AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM dw GROUP BY 1, 2),
+      |f AS (SELECT w, CAST(SUM(c) AS BIGINT) AS cf FROM c GROUP BY w)
+      |SELECT c.doc_id, CAST(SUM(c.c) AS BIGINT) AS n_words,
+      |  CAST(SUM(c.c * f.cf) AS BIGINT) AS sum_cf, MIN(f.cf) AS min_cf,
+      |  CAST(CAST(SUM(c.c * f.cf) AS BIGINT) AS DOUBLE)
+      |    / CAST(SUM(c.c) AS BIGINT) AS avg_cf
+      |FROM c JOIN f USING (w) GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin
+
   // -------------------------------------------------------- multimodal
 
   /** Column-tier media stats (binary payload derived from text); the typed

@@ -55,6 +55,47 @@ object Queries {
        | MAX(x) AS max_x, MAX(y) AS max_y
        |FROM c GROUP BY cell ORDER BY cell""".stripMargin
 
+  // ------------------------------------------- Z-order layout clustering
+
+  /** Morton resolution (bits per axis) and bucket prefix width for the
+    * layout query: 8-bit axes → 16-bit codes, 6-bit prefix → 64 buckets.
+    */
+  val ZBits = 8
+  val ZPrefix = 6
+
+  def zorderLayout(spark: SparkSession, dir: String): DataFrame =
+    SpatialOps.zorderLayout(
+      TpchGeo.points(load(spark, dir, "customer"), "c_custkey"),
+      grid, ZBits, ZPrefix)
+      .orderBy("bucket")
+
+  /** SQL twin of SpatialOps.spreadBits: identical magic-mask doubling
+    * steps (`|`/`&`/`<<` on BIGINT are exact in both engines).
+    */
+  private def spreadSql(e: String): String = {
+    def step(x: String, s: Int, m: Long): String =
+      s"((($x) | (($x) << $s)) & $m)"
+    step(step(step(step(e, 8, 0x00FF00FFL), 4, 0x0F0F0F0FL),
+      2, 0x33333333L), 1, 0x55555555L)
+  }
+
+  val zorderLayoutSql: String = {
+    val n = 1 << ZBits
+    def axisSql(c: String, lo: Double, span: Double): String =
+      s"LEAST(${n - 1}, GREATEST(0, CAST(FLOOR((($c) - $lo) / $span * $n.0)" +
+        " AS BIGINT)))"
+    s"""WITH pts AS (${pointsSql("customer", "c_custkey")}),
+       |q AS (SELECT id, ${axisSql("x", -180.0, 360.0)} AS ix,
+       |  ${axisSql("y", -90.0, 180.0)} AS iy FROM pts),
+       |z AS (SELECT id, ix, iy,
+       |  (${spreadSql("ix")} | (${spreadSql("iy")} << 1)) AS zcode FROM q)
+       |SELECT (zcode >> ${2 * ZBits - ZPrefix}) AS bucket,
+       |  CAST(COUNT(*) AS BIGINT) AS cnt, MIN(zcode) AS min_z,
+       |  MAX(zcode) AS max_z,
+       |  (MAX(ix) - MIN(ix) + 1) * (MAX(iy) - MIN(iy) + 1) AS env_area
+       |FROM z GROUP BY bucket ORDER BY bucket""".stripMargin
+  }
+
   // --------------------------------------------- raster <-> vector tier
 
   /** Raster grid for the raster↔vector queries: res 6 → 64×64 cells

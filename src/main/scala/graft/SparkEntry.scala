@@ -54,6 +54,9 @@ object SparkEntry {
     "q_text_quality" -> (PipelineQueries.textQuality(_, _)),
     "q_rep_stats" -> (PipelineQueries.repStats(_, _)),
     "q_asof_join" -> (PipelineQueries.asofJoin(_, _)),
+    "q_sessionize" -> (PipelineQueries.sessionize(_, _)),
+    "q_rarity_score" -> (PipelineQueries.rarityScore(_, _)),
+    "q_zorder_layout" -> (Queries.zorderLayout(_, _)),
     "q_lang_id" -> (PipelineQueries.langId(_, _)),
     "q_entity_cells" -> (PipelineQueries.entityCells(_, _)),
     "q_ann_topk" -> (PipelineQueries.annTopK(_, _)),
@@ -125,6 +128,9 @@ object SparkEntry {
     "q_text_quality" -> PipelineQueries.textQualitySql,
     "q_rep_stats" -> PipelineQueries.repStatsSql,
     "q_asof_join" -> PipelineQueries.asofJoinSql,
+    "q_sessionize" -> PipelineQueries.sessionizeSql,
+    "q_rarity_score" -> PipelineQueries.rarityScoreSql,
+    "q_zorder_layout" -> Queries.zorderLayoutSql,
     "q_ann_topk" -> PipelineQueries.annTopKSql,
     "q_ann_ivf" -> PipelineQueries.annTopKSql, // exact: same answer as brute force
     "q_ann_lsh_topk" -> PipelineQueries.annLshTopKSql,

@@ -1599,4 +1599,58 @@ object SpatialOps {
         max("x").as("maxX"), max("y").as("maxY"))
       .as[CellStats]
   }
+
+  // ------------------------------------------- Z-order layout clustering
+
+  /** Bit-spread for Morton interleaving: distributes the low 16 bits of
+    * `c` to the even bit positions of a 32-bit lane (magic-mask doubling
+    * steps). Pure integer Column arithmetic — whole-stage codegen, and an
+    * exact SQL twin exists because every step is `|`/`&`/`<<` on BIGINT.
+    */
+  private def spreadBits(c: Column): Column = {
+    def step(x: Column, shift: Int, mask: Long): Column =
+      x.bitwiseOR(shiftleft(x, shift)).bitwiseAND(lit(mask))
+    step(step(step(step(c, 8, 0x00FF00FFL), 4, 0x0F0F0F0FL),
+      2, 0x33333333L), 1, 0x55555555L)
+  }
+
+  /** Z-order (Morton) space-filling-curve layout statistics — the file-
+    * clustering operator behind Iceberg/Delta `ZORDER BY`: interleave the
+    * quantized (x, y) into a single sort key so that rows written in key
+    * order land spatially co-located files, and range/PIP scans prune by
+    * key prefix instead of reading the whole table. rstar gets the same
+    * locality from its packed OMT leaves (rstar/src/algorithm/bulk_load:
+    * slab recursion); at 10^12 rows the curve IS the on-disk analog.
+    *
+    * The layout "bucket" is the top `prefixBits` bits of the 2·`bits`-bit
+    * code — exactly a key-range file boundary — so the whole operator is
+    * one map (quantize + interleave, no window, no global sort) and one
+    * groupBy(bucket): at 100 TB the only shuffle is 2^prefixBits
+    * partial-aggregated rows. The per-bucket envelope area the query
+    * returns is the pruning-quality metric: Z-order buckets bound a tile
+    * of ~(2^bits / 2^(prefixBits/2))^2 cells, while hash buckets span the
+    * whole domain (SpatialOpsSpec asserts the separation).
+    */
+  def zorderLayout(pts: DataFrame, grid: CellGrid, bits: Int,
+      prefixBits: Int): DataFrame = {
+    require(bits >= 1 && bits <= 16, s"bits out of range: $bits")
+    require(prefixBits >= 1 && prefixBits <= 2 * bits,
+      s"prefixBits out of range: $prefixBits")
+    val n = 1L << bits
+    def axis(c: Column, lo: Double, span: Double): Column =
+      least(lit(n - 1), greatest(lit(0L),
+        floor((c - lit(lo)) / lit(span) * lit(n.toDouble)).cast("long")))
+    val ix = axis(col("x"), grid.minX, grid.maxX - grid.minX)
+    val iy = axis(col("y"), grid.minY, grid.maxY - grid.minY)
+    pts
+      .select(col("id"),
+        ix.as("ix"), iy.as("iy"),
+        spreadBits(ix).bitwiseOR(shiftleft(spreadBits(iy), 1)).as("zcode"))
+      .withColumn("bucket", shiftright(col("zcode"), 2 * bits - prefixBits))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("cnt"),
+        min("zcode").as("min_z"), max("zcode").as("max_z"),
+        ((max("ix") - min("ix") + lit(1L)) *
+          (max("iy") - min("iy") + lit(1L))).as("env_area"))
+  }
 }

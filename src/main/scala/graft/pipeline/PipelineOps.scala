@@ -636,6 +636,63 @@ object PipelineOps {
       .select(col("lid"), col(key), col(ts), col("asof_id"), col("asof_val"))
   }
 
+  /** Gap-based sessionization — split each user's event stream into
+    * sessions wherever consecutive events are more than `gapSec` apart
+    * (the standard clickstream/log-analytics segmentation). One shuffle,
+    * on the natural key: both windows share the same (user, ts, id)
+    * partitioning+ordering so Catalyst plans a single exchange + sort and
+    * the running sum rides the same sorted run as the lag. Per-user state
+    * is one row — no session can span users — so skew is whatever the
+    * hottest user's event count is, and AQE's skew split applies. All
+    * arithmetic is on microsecond BIGINTs (no float, no truncation to
+    * seconds), so the DuckDB twin is bit-exact.
+    */
+  def sessionize(events: DataFrame, gapSec: Long): DataFrame = {
+    val ord = Window.partitionBy("user_id").orderBy(col("tus"), col("event_id"))
+    val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prev = lag(col("tus"), 1).over(ord)
+    val newSess = when(
+      prev.isNull.or(col("tus") - prev > gapSec * 1000000L), 1L)
+      .otherwise(0L)
+    events
+      .select(col("user_id"), col("event_id"),
+        // NTZ → TZ cast is a pure reinterpretation under the UTC session
+        // zone, so `tus` matches DuckDB's epoch_us on the naive ts exactly
+        unix_micros(col("ts").cast("timestamp")).as("tus"))
+      .withColumn("ns", newSess)
+      .withColumn("sess_idx", sum(col("ns")).over(run))
+      .groupBy("user_id", "sess_idx")
+      .agg(count(lit(1)).as("n_events"),
+        min("tus").as("start_us"),
+        (max("tus") - min("tus")).as("dur_us"))
+  }
+
+  /** Corpus-frequency rarity score — the unigram-LM quality proxy (the
+    * shape of a KenLM/CCNet perplexity filter with the model table built
+    * from the corpus itself): pass 1 folds the corpus to per-doc word
+    * counts and reduces those to a global frequency table; pass 2 joins
+    * the table back and aggregates per doc. A doc of common words scores
+    * a high `avg_cf` (keep), word-soup of rare tokens scores low (drop).
+    *
+    * Scale shape: the explode is immediately collapsed by the partial-
+    * aggregating groupBy(doc, word) — the exchange carries distinct words
+    * per doc, not tokens — and the frequency table is vocab-sized (Zipf:
+    * ~10^7 rows at 10^12 docs), so the join is hash (or broadcast, AQE's
+    * call) on `w` with nothing driver-side. Integer sums + one division.
+    */
+  def rarityScore(docs: DataFrame): DataFrame = {
+    val dw = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+    val freq = dw.groupBy("w").agg(sum("c").as("cf"))
+    dw.join(freq, "w")
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_words"),
+        sum(col("c") * col("cf")).as("sum_cf"),
+        min("cf").as("min_cf"))
+      .withColumn("avg_cf", col("sum_cf").cast("double") / col("n_words"))
+  }
+
   /** Quality scores: exact integer counts plus IEEE-exact ratios. */
   def textQuality(docs: DataFrame): DataFrame = {
     val chars = length(col("text")).cast("long")

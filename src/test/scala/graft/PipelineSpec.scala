@@ -888,4 +888,69 @@ class PipelineSpec extends AnyFunSuite {
       rights.exists(r => r._2 == u && r._3 == ts) },
       "fixture needs an equal-ts inclusive match")
   }
+
+  test("sessionize: window construction equals a brute per-user split; " +
+    "a gap of EXACTLY gapSec stays in-session") {
+    val sp = spark
+    import sp.implicits._
+    val gap = 1800L
+    val rnd = new scala.util.Random(11)
+    var t = 0L
+    val rows = (0 until 200).map { i =>
+      // mix sub-gap steps, exact-gap steps (same session), and gap+1
+      t += (i % 7 match {
+        case 0 => gap * 1000000L + 1L       // breaks the session
+        case 1 => gap * 1000000L            // exactly gapSec: same session
+        case _ => rnd.nextInt(1000000).toLong + 1L
+      })
+      (rnd.nextInt(4).toLong, i.toLong, t)
+    }
+    val df = rows.toDF("user_id", "event_id", "tus")
+      .withColumn("ts", timestamp_micros(col("tus")))
+      .select("user_id", "event_id", "ts")
+    val got = PipelineOps.sessionize(df, gap).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val want = rows.groupBy(_._1).flatMap { case (u, es) =>
+      val sorted = es.sortBy(e => (e._3, e._2))
+      var idx = 0L
+      var prev = Long.MinValue
+      val sess = sorted.map { e =>
+        if (prev == Long.MinValue || e._3 - prev > gap * 1000000L) idx += 1
+        prev = e._3
+        (idx, e._3)
+      }
+      sess.groupBy(_._1).map { case (si, ts) =>
+        (u, si) -> ((ts.size.toLong, ts.map(_._2).min,
+          ts.map(_._2).max - ts.map(_._2).min))
+      }
+    }.toMap
+    assert(got == want)
+    assert(want.keys.groupBy(_._1).values.exists(_.size > 1),
+      "fixture needs multi-session users")
+  }
+
+  test("rarityScore: two-pass corpus-frequency equals a brute local count") {
+    val sp = spark
+    import sp.implicits._
+    val data = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the dog sat"),
+      (3L, "zyx qwv"),
+      (4L, "the the the"))
+    val df = data.toDF("doc_id", "text")
+    val cf = data.flatMap(_._2.split(" ")).groupBy(identity)
+      .map { case (w, ws) => w -> ws.size.toLong }
+    val got = PipelineOps.rarityScore(df).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    val want = data.map { case (id, text) =>
+      val ws = text.split(" ").toSeq
+      val sum = ws.map(cf).sum
+      id -> ((ws.size.toLong, sum, ws.map(cf).min,
+        sum.toDouble / ws.size))
+    }.toMap
+    assert(got == want)
+    assert(cf("the") == 6L)
+  }
 }

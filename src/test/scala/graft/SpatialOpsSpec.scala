@@ -728,4 +728,42 @@ class SpatialOpsSpec extends AnyFunSuite {
     assert(cells.take(5).sum / total > 0.2,
       s"expected hot cells, got top5=${cells.take(5).mkString(",")} of $total")
   }
+
+  test("zorderLayout: codes equal a bit-by-bit reference interleave, " +
+    "buckets partition the input, and Z-order buckets are far more " +
+    "spatially compact than hash buckets") {
+    val sp = sc
+    val grid = CellGrid.lonLat(4)
+    val bits = 8
+    val n = 1L << bits
+    def q(v: Double, lo: Double, span: Double): Long =
+      math.min(n - 1, math.max(0L, math.floor((v - lo) / span * n).toLong))
+    def interleave(ix: Long, iy: Long): Long =
+      (0 until bits).foldLeft(0L) { (acc, b) =>
+        acc | (((ix >> b) & 1L) << (2 * b)) | (((iy >> b) & 1L) << (2 * b + 1))
+      }
+    val rnd = new scala.util.Random(3)
+    val pts = (0 until 2000).map { i =>
+      (i.toLong, rnd.nextDouble() * 360 - 180, rnd.nextDouble() * 180 - 90)
+    }
+    val df = sp.createDataFrame(pts).toDF("id", "x", "y")
+    // full-resolution buckets (prefix = 2*bits) expose the raw codes
+    val codes = SpatialOps.zorderLayout(df, grid, bits, 2 * bits)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = pts.groupBy { case (_, x, y) =>
+      interleave(q(x, -180, 360), q(y, -90, 180)) }
+      .map { case (z, g) => z -> g.size.toLong }
+    assert(codes == want)
+
+    val buckets = SpatialOps.zorderLayout(df, grid, bits, 6).collect()
+    assert(buckets.map(_.getLong(1)).sum == pts.size)
+    val zArea = buckets.map(_.getLong(4)).sum
+    // same bucket count keyed by id-hash: no locality at all
+    val hashArea = pts.groupBy(_._1 % 64).values.map { g =>
+      val xs = g.map(p => q(p._2, -180, 360)); val ys = g.map(p => q(p._3, -90, 180))
+      (xs.max - xs.min + 1) * (ys.max - ys.min + 1)
+    }.sum
+    assert(zArea * 4 < hashArea,
+      s"Z-order locality missing: z=$zArea hash=$hashArea")
+  }
 }
