@@ -811,9 +811,7 @@ object PipelineOps {
     val de = emb.select(col("vec_id").as("id"),
       transform(col("embedding"), x =>
         floor(x.cast("double") * lit(1000.0)).cast("long")).as("de"))
-    val dot = aggregate(
-      zip_with(col("qe"), col("de"), (a, b) => a * b),
-      lit(0L), (acc, x) => acc + x)
+    val dot = intDot(col("qe"), col("de"))
     val w = Window.partitionBy("qid").orderBy(col("dot").desc, col("id"))
     qe.crossJoin(de)
       .select(col("qid"), col("id"), dot.as("dot"))
@@ -821,21 +819,29 @@ object PipelineOps {
       .where(col("rn") <= k)
   }
 
+  /** Exact double dot of two float-array columns — the native codegen
+    * expression ([[graft.functions.ArrayDotFF]]); same left-to-right
+    * widen-multiply-accumulate fold as the HOF form, so the SQL twin and
+    * recorded hashes are unchanged.
+    */
+  private def floatDot(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.ColumnShim.column(
+      graft.functions.ArrayDotFF(
+        org.apache.spark.sql.graft.ColumnShim.expression(a),
+        org.apache.spark.sql.graft.ColumnShim.expression(b)))
+
   /** Brute-force cosine top-k (float path, rows-only check): exact ranking
     * for the data at hand; the IEEE-sum order is fixed (array order) but not
     * oracle-portable.
     */
   def annCosine(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
-    def norm(v: Column): Column =
-      sqrt(aggregate(v, lit(0.0d), (acc, x) =>
-        acc + x.cast("double") * x.cast("double")))
+    def norm(v: Column): Column = sqrt(floatDot(v, v))
     val qe = emb.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
         norm(col("embedding")).as("qn"))
     val de = emb.select(col("vec_id").as("id"), col("embedding").as("de"),
       norm(col("embedding")).as("dn"))
-    val dot = aggregate(zip_with(col("qe"), col("de"),
-      (a, b) => a.cast("double") * b.cast("double")), lit(0.0d), (acc, x) => acc + x)
+    val dot = floatDot(col("qe"), col("de"))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("id"))
     qe.crossJoin(de)
       .select(col("qid"), col("id"),
@@ -861,9 +867,11 @@ object PipelineOps {
     import graft.functions.OracleHash
     val bits = (0 until nBits).map { j =>
       val cs = OracleHash.hyperplane(table, j, dims)
-      val dot = aggregate(
-        zip_with(v, typedlit(cs.toSeq), (x, c) => x.cast("double") * c),
-        lit(0.0d), (acc, x) => acc + x)
+      val dot = org.apache.spark.sql.graft.ColumnShim.column(
+        graft.functions.ArrayDotFD(
+          org.apache.spark.sql.graft.ColumnShim.expression(v),
+          org.apache.spark.sql.graft.ColumnShim.expression(
+            typedlit(cs.toSeq))))
       when(dot >= 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
     }
     bits.reduce(_.bitwiseOR(_))
