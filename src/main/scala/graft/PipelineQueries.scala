@@ -646,6 +646,29 @@ object PipelineQueries {
       |    / CAST(SUM(c.c) AS BIGINT) AS avg_cf
       |FROM c JOIN f USING (w) GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin
 
+  /** Stratified hash sample over the documents table: keep 37% of `en`,
+    * 80% of `de`, everything else whole.
+    */
+  val sampleRates: Map[String, Int] = Map("en" -> 37, "de" -> 80)
+
+  def hashSample(spark: SparkSession, dir: String): DataFrame =
+    PipelineOps.hashSample(docs(spark, dir), sampleRates, defaultRate = 100)
+      .orderBy("doc_id")
+
+  /** Twin of [[PipelineOps.hashSample]]: the same 31-bit hash of the same
+    * key string, the same slot rule (OracleHash constants shared).
+    */
+  val hashSampleSql: String = {
+    val slot = graft.functions.OracleHash
+      .polyHash31Sql("lang || ':' || CAST(doc_id AS VARCHAR)") + " % 100"
+    val rate = sampleRates.toSeq.sortBy(_._1)
+      .map { case (l, r) => s"WHEN lang = '$l' THEN $r" }
+      .mkString("CASE ", " ", " ELSE 100 END")
+    s"""WITH s AS (SELECT doc_id, lang, $slot AS slot FROM documents)
+       |SELECT doc_id, lang, slot FROM s
+       |WHERE slot < ($rate) ORDER BY doc_id""".stripMargin
+  }
+
   // -------------------------------------------------------- multimodal
 
   /** Column-tier media stats (binary payload derived from text); the typed

@@ -55,6 +55,7 @@ object SparkEntry {
     "q_rep_stats" -> (PipelineQueries.repStats(_, _)),
     "q_asof_join" -> (PipelineQueries.asofJoin(_, _)),
     "q_sessionize" -> (PipelineQueries.sessionize(_, _)),
+    "q_hash_sample" -> (PipelineQueries.hashSample(_, _)),
     "q_rarity_score" -> (PipelineQueries.rarityScore(_, _)),
     "q_zorder_layout" -> (Queries.zorderLayout(_, _)),
     "q_lang_id" -> (PipelineQueries.langId(_, _)),
@@ -129,6 +130,7 @@ object SparkEntry {
     "q_rep_stats" -> PipelineQueries.repStatsSql,
     "q_asof_join" -> PipelineQueries.asofJoinSql,
     "q_sessionize" -> PipelineQueries.sessionizeSql,
+    "q_hash_sample" -> PipelineQueries.hashSampleSql,
     "q_rarity_score" -> PipelineQueries.rarityScoreSql,
     "q_zorder_layout" -> Queries.zorderLayoutSql,
     "q_ann_topk" -> PipelineQueries.annTopKSql,

@@ -693,6 +693,30 @@ object PipelineOps {
       .withColumn("avg_cf", col("sum_cf").cast("double") / col("n_words"))
   }
 
+  /** Deterministic stratified hash sampling — per-language keep rates out
+    * of `denom` slots, membership decided by the 31-bit polynomial hash of
+    * a stable row key (NOT rand(): re-runs, retries, and different
+    * partitionings all select the SAME sample, which is what makes a
+    * 100 TB corpus downsample reproducible and resumable). Zero shuffle —
+    * a map-side filter in whole-stage codegen; the survivor set is also
+    * closed under rate increases (slot < 30 ⊂ slot < 60), so raising a
+    * language's rate only ADDS documents — incremental corpus growth
+    * never invalidates the already-processed sample.
+    */
+  def hashSample(docs: DataFrame, rates: Map[String, Int], defaultRate: Int,
+      denom: Int = 100): DataFrame = {
+    import graft.functions.OracleHash
+    val key = concat(col("lang"), lit(":"), col("doc_id").cast("string"))
+    val slot = pmod(OracleHash.polyHash31(key), lit(denom.toLong))
+    val rate = rates.toSeq.sortBy(_._1).foldRight(lit(defaultRate.toLong)) {
+      case ((l, r), els) => when(col("lang") === l, lit(r.toLong)).otherwise(els)
+    }
+    docs
+      .withColumn("slot", slot)
+      .where(col("slot") < rate)
+      .select(col("doc_id"), col("lang"), col("slot"))
+  }
+
   /** Quality scores: exact integer counts plus IEEE-exact ratios. */
   def textQuality(docs: DataFrame): DataFrame = {
     val chars = length(col("text")).cast("long")

@@ -930,6 +930,32 @@ class PipelineSpec extends AnyFunSuite {
       "fixture needs multi-session users")
   }
 
+  test("hashSample: membership equals a local hash recompute, is invariant " +
+    "under repartitioning, and is monotone in the rate") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val d = docs
+    val rates = Map("en" -> 37, "de" -> 80)
+    def slotOf(lang: String, id: Long): Long =
+      graft.functions.StrHash31.hash(
+        UTF8String.fromString(s"$lang:$id")) % 100
+    val got = PipelineOps.hashSample(d, rates, 100).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val want = d.select("doc_id", "lang").collect().flatMap { r =>
+      val (id, lang) = (r.getLong(0), r.getString(1))
+      val s = slotOf(lang, id)
+      if (s < rates.getOrElse(lang, 100)) Some((id, lang, s)) else None
+    }.toSet
+    assert(got == want)
+    assert(want.size < d.count(), "fixture must actually downsample")
+    val reparted = PipelineOps.hashSample(d.repartition(7), rates, 100)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(reparted == got)
+    val raised = PipelineOps.hashSample(d, Map("en" -> 60, "de" -> 80), 100)
+      .collect().map(_.getLong(0)).toSet
+    assert(got.map(_._1).subsetOf(raised ++ got.filter(_._2 != "en").map(_._1)))
+    assert(got.filter(_._2 == "en").map(_._1).subsetOf(raised))
+  }
+
   test("rarityScore: two-pass corpus-frequency equals a brute local count") {
     val sp = spark
     import sp.implicits._
