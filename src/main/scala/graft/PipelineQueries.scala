@@ -627,6 +627,117 @@ object PipelineQueries {
       |FROM s GROUP BY user_id, sess_idx
       |ORDER BY user_id, sess_idx""".stripMargin
 
+  /** Interval (range) join of the events table against synthetic
+    * maintenance windows: 30-minute stride, 10–70-minute lengths — the
+    * lengths exceed the stride on most windows, so intervals OVERLAP and
+    * an event can land in several (what makes this a real range join, not
+    * a bucketing). Aggregates are integer-exact (count / id-sum /
+    * exact distinct), so the inequality-join twin hash-matches.
+    */
+  val IntervalT0: Long = 1704067200000000L // 2024-01-01T00:00:00Z, micros
+  val IntervalStrideUs: Long = 1800000000L
+  val IntervalLenUnitUs: Long = 600000000L
+  val IntervalCount: Int = 2000
+
+  def intervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ivs = spark.range(IntervalCount.toLong).select(
+      col("id").as("wid"),
+      (lit(IntervalT0) + col("id") * lit(IntervalStrideUs)).as("start_us"),
+      (lit(IntervalT0) + col("id") * lit(IntervalStrideUs)
+        + (pmod(col("id"), lit(7L)) + lit(1L)) * lit(IntervalLenUnitUs))
+        .as("end_us"))
+    val ev = load(spark, dir, "events").select(
+      col("event_id"), col("user_id"),
+      unix_micros(col("ts").cast("timestamp")).as("tus"))
+    // bucket width = the max interval length (7 units), so an interval
+    // replicates to at most 2 buckets
+    PipelineOps.intervalJoin(ev, "tus", ivs, bucketUs = 7L * IntervalLenUnitUs)
+      .groupBy("wid")
+      .agg(count(lit(1)).as("n_events"), sum("event_id").as("sum_eid"),
+        countDistinct("user_id").as("n_users"))
+      .orderBy("wid")
+  }
+
+  /** Twin of [[PipelineOps.intervalJoin]]: the same windows generated by
+    * `range()`, matched by the direct inequality join the bucketed rewrite
+    * replaces.
+    */
+  val intervalJoinSql: String =
+    s"""WITH w AS (SELECT range AS wid,
+       |  $IntervalT0 + range * $IntervalStrideUs AS start_us,
+       |  $IntervalT0 + range * $IntervalStrideUs
+       |    + (range % 7 + 1) * $IntervalLenUnitUs AS end_us
+       |  FROM range(0, $IntervalCount)),
+       |e AS (SELECT event_id, user_id, epoch_us(ts) AS tus FROM events)
+       |SELECT wid, CAST(COUNT(*) AS BIGINT) AS n_events,
+       |  CAST(SUM(event_id) AS BIGINT) AS sum_eid,
+       |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+       |FROM e JOIN w ON tus >= start_us AND tus < end_us
+       |GROUP BY wid ORDER BY wid""".stripMargin
+
+  /** JSON metadata extraction over the events table (`props` is a JSON
+    * sidecar string, the shape crawl records carry).
+    */
+  def jsonProps(spark: SparkSession, dir: String): DataFrame =
+    PipelineOps.jsonProps(load(spark, dir, "events"))
+      .orderBy("event_type", "k_decade")
+
+  /** Twin of [[PipelineOps.jsonProps]]: DuckDB's JSON extension reading
+    * the same path; integer stats, so the parse engines can't disagree.
+    */
+  val jsonPropsSql: String =
+    """WITH e AS (SELECT event_type,
+      |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+      |SELECT event_type, k - k % 10 AS k_decade,
+      |  CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(k) AS BIGINT) AS sum_k,
+      |  MIN(k) AS min_k, MAX(k) AS max_k
+      |FROM e GROUP BY event_type, k - k % 10
+      |ORDER BY event_type, k_decade""".stripMargin
+
+  /** PII scrub over the documents table. The corpus is digit-free word
+    * soup, so deterministic pseudo-PII is planted first — an email derived
+    * from doc_id on every 5th doc, a phone-shaped digit run on every 7th —
+    * which makes the detection load-bearing both ways: planted rows must
+    * count and redact, clean rows must come back byte-identical (their
+    * red_hash is the hash of the raw text).
+    */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val aug = docs(spark, dir).withColumn("text",
+      concat(col("text"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com"))).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" call 555-"),
+            lpad(pmod(col("doc_id"), lit(10000L)).cast("string"), 4, "0")))
+          .otherwise(lit(""))))
+    PipelineOps.piiScrub(aug, "doc_id", "text").orderBy("doc_id")
+  }
+
+  /** Twin of [[PipelineOps.piiScrub]]: same planting, same regexes (RE2
+    * and Java agree on these character-class patterns), same redaction
+    * order, and the redacted string pinned by the shared 31-bit hash.
+    */
+  val piiScrubSql: String = {
+    val e = PipelineOps.EmailRe
+    val p = PipelineOps.PhoneRe
+    s"""WITH a AS (SELECT doc_id, text
+       |  || CASE WHEN doc_id % 5 = 0 THEN ' contact user'
+       |       || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+       |  || CASE WHEN doc_id % 7 = 0 THEN ' call 555-'
+       |       || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+       |    AS t FROM documents),
+       |r AS (SELECT doc_id, t, regexp_replace(
+       |    regexp_replace(t, '$e', '<EMAIL>', 'g'),
+       |    '$p', '<PHONE>', 'g') AS red FROM a)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(t, '$e')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(t, '$p')) AS BIGINT) AS n_phones,
+       |  CAST(length(red) AS BIGINT) AS n_chars_red,
+       |  ${OracleHash.polyHash31Sql("red")} AS red_hash
+       |FROM r ORDER BY doc_id""".stripMargin
+  }
+
   /** Corpus-frequency rarity score over the documents table. */
   def rarityScore(spark: SparkSession, dir: String): DataFrame =
     PipelineOps.rarityScore(docs(spark, dir)).orderBy("doc_id")

@@ -55,6 +55,9 @@ object SparkEntry {
     "q_rep_stats" -> (PipelineQueries.repStats(_, _)),
     "q_asof_join" -> (PipelineQueries.asofJoin(_, _)),
     "q_sessionize" -> (PipelineQueries.sessionize(_, _)),
+    "q_interval_join" -> (PipelineQueries.intervalJoin(_, _)),
+    "q_json_props" -> (PipelineQueries.jsonProps(_, _)),
+    "q_pii_scrub" -> (PipelineQueries.piiScrub(_, _)),
     "q_hash_sample" -> (PipelineQueries.hashSample(_, _)),
     "q_rarity_score" -> (PipelineQueries.rarityScore(_, _)),
     "q_zorder_layout" -> (Queries.zorderLayout(_, _)),
@@ -130,6 +133,9 @@ object SparkEntry {
     "q_rep_stats" -> PipelineQueries.repStatsSql,
     "q_asof_join" -> PipelineQueries.asofJoinSql,
     "q_sessionize" -> PipelineQueries.sessionizeSql,
+    "q_interval_join" -> PipelineQueries.intervalJoinSql,
+    "q_json_props" -> PipelineQueries.jsonPropsSql,
+    "q_pii_scrub" -> PipelineQueries.piiScrubSql,
     "q_hash_sample" -> PipelineQueries.hashSampleSql,
     "q_rarity_score" -> PipelineQueries.rarityScoreSql,
     "q_zorder_layout" -> Queries.zorderLayoutSql,

@@ -717,6 +717,80 @@ object PipelineOps {
       .select(col("doc_id"), col("lang"), col("slot"))
   }
 
+  /** Semi-structured property extraction — parse a JSON metadata column
+    * with an explicit schema (`from_json`, Jackson under the hood: the
+    * standard Spark idiom for sidecar metadata on web-crawl records) and
+    * fold the typed values into per-type integer stats. The parse is the
+    * only non-codegen scalar (Spark's JSON expressions are inherently
+    * interpreted); everything above it partial-aggregates map-side, so the
+    * exchange carries one row per (event_type, k-decade) — at 100 TB the
+    * parse streams through the scan projection and nothing wide shuffles.
+    * Malformed rows yield NULL (PERMISSIVE) and are counted, not dropped —
+    * silent row loss on a corrupt shard is the classic pipeline bug.
+    */
+  def jsonProps(events: DataFrame): DataFrame = {
+    val k = from_json(col("props"), org.apache.spark.sql.types.StructType(
+      Seq(org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType)))).getField("k")
+    events
+      .select(col("event_type"), k.as("k"))
+      .groupBy(col("event_type"), (col("k") - pmod(col("k"), lit(10L)))
+        .as("k_decade"))
+      .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+        min("k").as("min_k"), max("k").as("max_k"))
+  }
+
+  /** PII detection + redaction — the corpus-hygiene pass every published
+    * web-text pipeline runs (emails, phone-shaped digit runs) as pure
+    * codegen regex columns: counts come off the ORIGINAL text, then the
+    * matches are rewritten to typed placeholder tags, emails first so a
+    * digit run inside an address is never double-redacted. Map-side only —
+    * no shuffle, no UDF, no data leaves the row — and the redacted text's
+    * 31-bit polynomial hash gives the oracle a bit-exact handle on the
+    * FULL rewritten string without materializing it in the result.
+    */
+  val EmailRe = "[a-z0-9._]+@[a-z0-9]+\\.[a-z]+"
+  val PhoneRe = "[0-9]{3}-[0-9]{4}"
+  def piiScrub(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import graft.functions.OracleHash
+    val red = regexp_replace(
+      regexp_replace(col(textCol), EmailRe, "<EMAIL>"),
+      PhoneRe, "<PHONE>")
+    df.select(col(idCol),
+      size(regexp_extract_all(col(textCol), lit(EmailRe), lit(0)))
+        .cast("long").as("n_emails"),
+      size(regexp_extract_all(col(textCol), lit(PhoneRe), lit(0)))
+        .cast("long").as("n_phones"),
+      length(red).cast("long").as("n_chars_red"),
+      OracleHash.polyHash31(red).as("red_hash"))
+  }
+
+  /** Interval (range) join — match fact rows to every interval containing
+    * their timestamp, `start_us <= t < end_us`. Spark has no native range
+    * join, and the naive form is a broadcast-nested-loop (every row against
+    * every interval). This is the bucketed rewrite: pick a bucket width,
+    * each interval replicates to the `len/width + 1` buckets it covers
+    * (`sequence` explode), each fact row maps to exactly ONE bucket, and
+    * the match becomes a hash equi-join on bucket + a residual containment
+    * predicate. A (row, interval) pair can meet in only one bucket — the
+    * row's — so no post-join dedup is needed. ONE shuffle, on the bucket
+    * key; replication is bounded by interval length over width (tune width
+    * to the median length); hot buckets are ordinary join skew that AQE
+    * splits. Integer microsecond arithmetic throughout (`div`, never
+    * float), so the twin is bit-exact.
+    */
+  def intervalJoin(facts: DataFrame, tsCol: String,
+      intervals: DataFrame, bucketUs: Long): DataFrame = {
+    val iv = intervals.withColumn("bkt",
+      explode(sequence(expr(s"start_us div ${bucketUs}L"),
+        expr(s"(end_us - 1) div ${bucketUs}L"))))
+    facts
+      .withColumn("bkt", expr(s"$tsCol div ${bucketUs}L"))
+      .join(iv, Seq("bkt"))
+      .where(col(tsCol) >= col("start_us") && col(tsCol) < col("end_us"))
+      .drop("bkt")
+  }
+
   /** Quality scores: exact integer counts plus IEEE-exact ratios. */
   def textQuality(docs: DataFrame): DataFrame = {
     val chars = length(col("text")).cast("long")

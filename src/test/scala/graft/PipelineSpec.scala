@@ -956,6 +956,91 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.filter(_._2 == "en").map(_._1).subsetOf(raised))
   }
 
+  test("piiScrub: hand-built fixture — counts, redaction order, and the " +
+    "hash of the exact redacted string; clean rows byte-identical") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val sp = spark
+    import sp.implicits._
+    val rows = Seq(
+      (1L, "plain word soup no pii at all"),
+      (2L, "reach me at bob.smith@mail99.com or 555-0199 today"),
+      (3L, "two mails a@b.io and c_d@e.org plus 123-4567 and 999-0000"),
+      (4L, "almost an email foo@bar dot com and short 12-3456")
+    ).toDF("doc_id", "text")
+    val expRed = Map(
+      1L -> "plain word soup no pii at all",
+      2L -> "reach me at <EMAIL> or <PHONE> today",
+      3L -> "two mails <EMAIL> and <EMAIL> plus <PHONE> and <PHONE>",
+      4L -> "almost an email foo@bar dot com and short 12-3456")
+    val expCnt = Map(1L -> (0L, 0L), 2L -> (1L, 1L), 3L -> (2L, 2L),
+      4L -> (0L, 0L))
+    val got = PipelineOps.piiScrub(rows, "doc_id", "text").collect()
+    assert(got.length == 4)
+    got.foreach { r =>
+      val id = r.getLong(0)
+      assert((r.getLong(1), r.getLong(2)) == expCnt(id), s"counts doc $id")
+      assert(r.getLong(3) == expRed(id).length.toLong, s"red length doc $id")
+      assert(r.getLong(4) == graft.functions.StrHash31.hash(
+        UTF8String.fromString(expRed(id))), s"red hash doc $id")
+    }
+  }
+
+  test("piiScrub query: planted PII detected exactly on the planted rows") {
+    val r = PipelineQueries.piiScrub(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val id = row.getLong(0)
+      assert(row.getLong(1) == (if (id % 5 == 0) 1L else 0L),
+        s"email count doc $id")
+      assert(row.getLong(2) == (if (id % 7 == 0) 1L else 0L),
+        s"phone count doc $id")
+    }
+  }
+
+  test("jsonProps: typed extraction on a hand fixture; malformed rows " +
+    "survive as a NULL-decade group instead of vanishing") {
+    val sp = spark
+    import sp.implicits._
+    val rows = Seq(
+      ("click", """{"k": 12}"""),
+      ("click", """{"k": 17}"""),
+      ("view", """{"k": 103}"""),
+      ("view", """not json"""),
+      ("view", """{"j": 5}""")
+    ).toDF("event_type", "props")
+    val got = PipelineOps.jsonProps(rows).collect().map { r =>
+      (r.getString(0),
+        if (r.isNullAt(1)) Long.MinValue else r.getLong(1)) ->
+        ((r.getLong(2),
+          if (r.isNullAt(3)) Long.MinValue else r.getLong(3)))
+    }.toMap
+    assert(got(("click", 10L)) == ((2L, 29L)))
+    assert(got(("view", 100L)) == ((1L, 103L)))
+    assert(got(("view", Long.MinValue)) == ((2L, Long.MinValue)))
+    assert(got.size == 3)
+  }
+
+  test("intervalJoin: bucketed rewrite equals the naive inequality join, " +
+    "each matched pair exactly once, incl. intervals spanning many buckets") {
+    val facts = spark.range(200).select(col("id").as("fid"),
+      (col("id") * 37L % 1000L).as("tus"))
+    val ivs = spark.range(40).select(col("id").as("wid"),
+      (col("id") * 23L % 700L).as("start_us"),
+      (col("id") * 23L % 700L + (col("id") % 11L + 1L) * 40L).as("end_us"))
+    // bucket width 64, lengths up to 440: intervals span up to 8 buckets
+    val joined = PipelineOps.intervalJoin(facts, "tus", ivs, 64L)
+    val got = joined.select("fid", "wid").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val want = facts.crossJoin(ivs)
+      .where(col("tus") >= col("start_us") && col("tus") < col("end_us"))
+      .select("fid", "wid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.toSet == want)
+    assert(got.length == want.size, "a pair matched in more than one bucket")
+    assert(want.nonEmpty)
+  }
+
   test("rarityScore: two-pass corpus-frequency equals a brute local count") {
     val sp = spark
     import sp.implicits._
