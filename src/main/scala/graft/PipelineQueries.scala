@@ -608,24 +608,32 @@ object PipelineQueries {
     PipelineOps.sessionize(load(spark, dir, "events"), gapSec = 1800L)
       .orderBy("user_id", "sess_idx")
 
-  /** Twin of [[PipelineOps.sessionize]]: the same lag + running-sum
-    * construction on microsecond BIGINTs (ties pinned by event_id; the
-    * synthesized ts are distinct per user, so that's determinism armor).
+  /** Shared session CTEs (lag + running-sum on microsecond BIGINTs,
+    * grouped to one row per session) — the batch twin reads `g` whole,
+    * the streaming twin drops each user's last (still-open) session.
     */
-  val sessionizeSql: String =
-    """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
+  private val sessionCtes: String =
+    """e AS (SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
       |m AS (SELECT *, CASE WHEN lag(tus) OVER win IS NULL
       |    OR tus - lag(tus) OVER win > 1800000000 THEN 1 ELSE 0 END AS ns
       |  FROM e WINDOW win AS (PARTITION BY user_id ORDER BY tus, event_id)),
       |s AS (SELECT *, SUM(ns) OVER (PARTITION BY user_id
       |    ORDER BY tus, event_id
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_idx
-      |  FROM m)
-      |SELECT user_id, CAST(sess_idx AS BIGINT) AS sess_idx,
+      |  FROM m),
+      |g AS (SELECT user_id, CAST(sess_idx AS BIGINT) AS sess_idx,
       |  CAST(COUNT(*) AS BIGINT) AS n_events, MIN(tus) AS start_us,
       |  MAX(tus) - MIN(tus) AS dur_us
-      |FROM s GROUP BY user_id, sess_idx
-      |ORDER BY user_id, sess_idx""".stripMargin
+      |FROM s GROUP BY user_id, sess_idx)""".stripMargin
+
+  /** Twin of [[PipelineOps.sessionize]]: the same lag + running-sum
+    * construction on microsecond BIGINTs (ties pinned by event_id; the
+    * synthesized ts are distinct per user, so that's determinism armor).
+    */
+  val sessionizeSql: String =
+    s"""WITH $sessionCtes
+       |SELECT user_id, sess_idx, n_events, start_us, dur_us FROM g
+       |ORDER BY user_id, sess_idx""".stripMargin
 
   /** Interval (range) join of the events table against synthetic
     * maintenance windows: 30-minute stride, 10–70-minute lengths — the
@@ -737,6 +745,33 @@ object PipelineQueries {
        |  ${OracleHash.polyHash31Sql("red")} AS red_hash
        |FROM r ORDER BY doc_id""".stripMargin
   }
+
+  /** Exact per-type value quantiles over the events table (discrete
+    * 2-decimal value domain — the histogram path's home turf).
+    */
+  def quantiles(spark: SparkSession, dir: String): DataFrame =
+    PipelineOps.exactQuantiles(load(spark, dir, "events"), "event_type",
+      "value", Seq((1, 2), (9, 10), (99, 100)))
+      .select(col("event_type"), col("n"), col("p1_2").as("p50"),
+        col("p9_10").as("p90"), col("p99_100").as("p99"))
+      .orderBy("event_type")
+
+  /** Twin of [[PipelineOps.exactQuantiles]]: the same histogram +
+    * cumulative-sum + integer-ceil rank construction (percentile_disc
+    * semantics — the chosen values are actual data, never interpolated,
+    * so the doubles pass through untouched).
+    */
+  val quantilesSql: String =
+    """WITH h AS (SELECT event_type, value, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2),
+      |w AS (SELECT *, SUM(c) OVER (PARTITION BY event_type ORDER BY value
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |  SUM(c) OVER (PARTITION BY event_type) AS tot FROM h)
+      |SELECT event_type, CAST(MAX(tot) AS BIGINT) AS n,
+      |  MIN(CASE WHEN cum >= (tot * 1 + 1) // 2 THEN value END) AS p50,
+      |  MIN(CASE WHEN cum >= (tot * 9 + 9) // 10 THEN value END) AS p90,
+      |  MIN(CASE WHEN cum >= (tot * 99 + 99) // 100 THEN value END) AS p99
+      |FROM w GROUP BY event_type ORDER BY event_type""".stripMargin
 
   /** Corpus-frequency rarity score over the documents table. */
   def rarityScore(spark: SparkSession, dir: String): DataFrame =
@@ -987,6 +1022,72 @@ object PipelineQueries {
     if (f.isDirectory) f.listFiles().foreach(c => rmrfTemp(c.getPath))
     f.delete()
   }
+
+  /** STREAMING sessionization, end-to-end as a driver-oracle hard signal:
+    * the events table is replayed through the REAL Structured Streaming
+    * path ([[graft.streaming.StreamOps.sessionizeStream]] — file source,
+    * two time-split micro-batches, `flatMapGroupsWithState` open-session
+    * state) and the emitted CLOSED sessions must equal the batch
+    * sessionization minus each user's final (still-open) session — the
+    * DuckDB twin computes exactly that. Sessions spanning the batch cut
+    * certify the cross-batch state merge: if state were dropped between
+    * batches, every spanning session would split in two and the driver's
+    * hash compare would fail.
+    */
+  def streamSessionize(spark: SparkSession, dir: String): DataFrame = {
+    val tag = s"qss_${System.nanoTime()}"
+    val inDir = java.nio.file.Files.createTempDirectory(tag).toString
+    val ckpt = java.nio.file.Files.createTempDirectory(s"${tag}_c").toString
+    val ev = load(spark, dir, "events").select(col("user_id"),
+      col("event_id"), col("ts").cast("timestamp").as("ts"))
+    val cutUs = 1704153600000000L // 2024-01-02T00:00:00Z — day-1 boundary
+    ev.where(unix_micros(col("ts")) < cutUs)
+      .write.mode("overwrite").parquet(inDir)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("event_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType, nullable = false)))
+    val savedParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    var q: org.apache.spark.sql.streaming.StreamingQuery = null
+    try {
+      q = graft.streaming.StreamOps.sessionizeStream(spark,
+          spark.readStream.schema(schema).parquet(inDir), gapSec = 1800L)
+        .writeStream.format("memory").queryName(tag)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      q.processAllAvailable() // micro-batch 1: events before the cut
+      // micro-batch 2: the rest — per-user event time stays monotone
+      // across the batch boundary (the operator's ordering contract)
+      ev.where(unix_micros(col("ts")) >= cutUs)
+        .write.mode("append").parquet(inDir)
+      q.processAllAvailable()
+      graft.streaming.StreamMetrics.record(q)
+      q.stop()
+      val out = spark.table(tag).orderBy("user_id", "sess_idx")
+      val rows = out.collect().toSeq
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), out.schema)
+    } finally {
+      if (q != null && q.isActive) q.stop()
+      spark.conf.set("spark.sql.shuffle.partitions", savedParts)
+      if (spark.catalog.tableExists(tag)) spark.catalog.dropTempView(tag)
+      rmrfTemp(inDir); rmrfTemp(ckpt)
+    }
+  }
+
+  /** Twin of [[streamSessionize]]: the batch session CTEs, keeping only
+    * CLOSED sessions — every session but each user's last.
+    */
+  val streamSessionizeSql: String =
+    s"""WITH $sessionCtes
+       |SELECT user_id, sess_idx, n_events, start_us, dur_us
+       |FROM (SELECT g.*, MAX(sess_idx) OVER (PARTITION BY user_id) AS mx
+       |      FROM g) t
+       |WHERE sess_idx < mx ORDER BY user_id, sess_idx""".stripMargin
 
   /** STREAMING stream-static spatial join, end-to-end as a second
     * streaming hard signal: the customer point layer is replayed through a

@@ -56,6 +56,7 @@ object SparkEntry {
     "q_asof_join" -> (PipelineQueries.asofJoin(_, _)),
     "q_sessionize" -> (PipelineQueries.sessionize(_, _)),
     "q_interval_join" -> (PipelineQueries.intervalJoin(_, _)),
+    "q_quantiles" -> (PipelineQueries.quantiles(_, _)),
     "q_json_props" -> (PipelineQueries.jsonProps(_, _)),
     "q_pii_scrub" -> (PipelineQueries.piiScrub(_, _)),
     "q_hash_sample" -> (PipelineQueries.hashSample(_, _)),
@@ -84,7 +85,8 @@ object SparkEntry {
     "q_stream_dedup" -> (PipelineQueries.streamDedup(_, _)),
     "q_stream_tile" -> (PipelineQueries.streamTileJoin(_, _)),
     "q_stream_window" -> (PipelineQueries.streamWindow(_, _)),
-    "q_stream_index" -> (PipelineQueries.streamIndex(_, _))
+    "q_stream_index" -> (PipelineQueries.streamIndex(_, _)),
+    "q_stream_sessionize" -> (PipelineQueries.streamSessionize(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -134,6 +136,7 @@ object SparkEntry {
     "q_asof_join" -> PipelineQueries.asofJoinSql,
     "q_sessionize" -> PipelineQueries.sessionizeSql,
     "q_interval_join" -> PipelineQueries.intervalJoinSql,
+    "q_quantiles" -> PipelineQueries.quantilesSql,
     "q_json_props" -> PipelineQueries.jsonPropsSql,
     "q_pii_scrub" -> PipelineQueries.piiScrubSql,
     "q_hash_sample" -> PipelineQueries.hashSampleSql,
@@ -160,6 +163,7 @@ object SparkEntry {
     "q_stream_dedup" -> PipelineQueries.streamDedupSql,
     "q_stream_tile" -> PipelineQueries.streamTileJoinSql,
     "q_stream_window" -> PipelineQueries.streamWindowSql,
-    "q_stream_index" -> PipelineQueries.streamIndexSql
+    "q_stream_index" -> PipelineQueries.streamIndexSql,
+    "q_stream_sessionize" -> PipelineQueries.streamSessionizeSql
   )
 }

@@ -791,6 +791,36 @@ object PipelineOps {
       .drop("bkt")
   }
 
+  /** Exact distributed quantiles by value histogram — order statistics
+    * WITHOUT a total sort: fold the data to (key, value, count) — the
+    * exchange carries the distinct-value histogram, not the rows — then a
+    * per-key cumulative sum locates each requested rank. The rank is pure
+    * integer arithmetic, `ceil(n·num/den) = (n·num + den - 1) div den` —
+    * never `p * n` in floating point, where ceil(0.9 · n) is one off
+    * whenever the product rounds up — and the quantile is the smallest
+    * value whose cumulative count reaches the rank (percentile_disc
+    * semantics: an actual data value, no interpolation arithmetic to
+    * disagree on). Right shape when the value domain is discretized
+    * (prices, scores, latencies-in-ms): histogram size is the distinct
+    * count. For unbounded continuous domains the histogram degenerates to
+    * n and a sketch (t-digest) is the approximate alternative — this
+    * operator is the EXACT path.
+    */
+  def exactQuantiles(df: DataFrame, key: String, v: String,
+      qs: Seq[(Int, Int)]): DataFrame = {
+    val cumW = Window.partitionBy(key).orderBy(v)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totW = Window.partitionBy(key)
+    val hist = df.groupBy(col(key), col(v)).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum("c").over(cumW))
+      .withColumn("tot", sum("c").over(totW))
+    val aggs = max(col("tot")).as("n") +: qs.map { case (nu, de) =>
+      min(when(col("cum") >= expr(s"(tot * $nu + ${de - 1}) div $de"),
+        col(v))).as(s"p${nu}_$de")
+    }
+    hist.groupBy(key).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Quality scores: exact integer counts plus IEEE-exact ratios. */
   def textQuality(docs: DataFrame): DataFrame = {
     val chars = length(col("text")).cast("long")

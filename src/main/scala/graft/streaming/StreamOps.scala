@@ -176,6 +176,54 @@ object StreamOps {
       .toDF("h", "keeper", "n_chars")
   }
 
+  /** Streaming gap-based sessionization with explicit custom state: key =
+    * user, state = the OPEN session (start, last-seen, count, index) — four
+    * longs per active user, the textbook bounded-state shape. Each batch
+    * folds the user's new events in time order; an event more than
+    * `gapSec` past the last-seen CLOSES the open session (emitted, append
+    * mode, exactly once) and opens the next. The final session per user is
+    * never emitted — the stream cannot know it is over; bound it with a
+    * state timeout (`ProcessingTimeTimeout` flush) where completeness
+    * matters more than latency.
+    *
+    * Ordering contract: per-user event time must be monotone ACROSS
+    * micro-batches (replayed time-ordered logs; enforce upstream with a
+    * watermark + sort inside `foreachBatch` otherwise). WITHIN a batch the
+    * group iterator is unordered and is sorted here — per user per batch,
+    * bounded by the micro-batch, never the stream.
+    */
+  def sessionizeStream(spark: SparkSession, events: DataFrame,
+      gapSec: Long): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val gapUs = gapSec * 1000000L
+    events
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("tus"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long, Long),
+        (Long, Long, Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long, Long)],
+            state: GroupState[(Long, Long, Long, Long)]) =>
+          var (startUs, lastUs, n, idx) =
+            state.getOption.getOrElse((0L, 0L, 0L, 0L))
+          val out =
+            scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, Long)]
+          rows.toArray.sortBy(r => (r._3, r._2)).foreach { case (_, _, tus) =>
+            if (n == 0L) { startUs = tus; lastUs = tus; n = 1L; idx = 1L }
+            else if (tus - lastUs > gapUs) {
+              out += ((user, idx, n, startUs, lastUs - startUs))
+              idx += 1L; startUs = tus; lastUs = tus; n = 1L
+            } else { lastUs = tus; n += 1L }
+          }
+          state.update((startUs, lastUs, n, idx))
+          out.iterator
+      }
+      .toDF("user_id", "sess_idx", "n_events", "start_us", "dur_us")
+  }
+
   /** Watermarked tumbling-window per-cell entity counts — the streaming
     * form of the build histogram (C2 stage 1): late pages beyond the
     * watermark are dropped, state stays bounded.

@@ -1041,6 +1041,47 @@ class PipelineSpec extends AnyFunSuite {
     assert(want.nonEmpty)
   }
 
+  test("exactQuantiles: histogram ranks equal a local full sort, incl. " +
+    "duplicate-heavy values and the integer-ceil rank rule") {
+    val sp = spark
+    import sp.implicits._
+    // duplicate-heavy fixture: rank arithmetic must not be fooled by ties
+    val fix = Seq.tabulate(100)(i => ("a", (i % 7).toDouble)) ++
+      Seq.tabulate(10)(i => ("b", i.toDouble))
+    val df = fix.toDF("k", "v")
+    val got = PipelineOps.exactQuantiles(df, "k", "v",
+      Seq((1, 2), (9, 10), (99, 100))).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    def brute(vs: Seq[Double], nu: Int, de: Int): Double = {
+      val s = vs.sorted
+      s(((vs.size.toLong * nu + de - 1) / de - 1).toInt)
+    }
+    for ((k, vs) <- fix.groupBy(_._1).view.mapValues(_.map(_._2))) {
+      val (n, p50, p90, p99) = got(k)
+      assert(n == vs.size.toLong)
+      assert(p50 == brute(vs, 1, 2), s"p50 key $k")
+      assert(p90 == brute(vs, 9, 10), s"p90 key $k")
+      assert(p99 == brute(vs, 99, 100), s"p99 key $k")
+    }
+    // and on the real events table
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val gotEv = PipelineOps.exactQuantiles(ev, "event_type", "value",
+      Seq((1, 2), (9, 10), (99, 100))).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    val local = ev.select("event_type", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq
+      .groupBy(_._1).view.mapValues(_.map(_._2))
+    for ((k, vs) <- local) {
+      val (n, p50, p90, p99) = gotEv(k)
+      assert(n == vs.size.toLong && p50 == brute(vs, 1, 2) &&
+        p90 == brute(vs, 9, 10) && p99 == brute(vs, 99, 100), s"events $k")
+    }
+  }
+
   test("rarityScore: two-pass corpus-frequency equals a brute local count") {
     val sp = spark
     import sp.implicits._

@@ -141,6 +141,57 @@ class StreamSpec extends AnyFunSuite {
     got.foreach { case (_, u, t) => assert(wantKeepers(t) == u) }
   }
 
+  test("streaming sessionization (flatMapGroupsWithState): closed sessions " +
+    "across micro-batches == batch minus each user's open session; a " +
+    "session SPANNING the batch cut survives the state merge") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_ss").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ssc").toString
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    // u1: s1 [0,60]; s2 starts in batch 1 (4000,4060), CONTINUES in batch 2
+    //     (5010 — within the 1800 s gap), then 9000 opens s3 and closes s2;
+    // u2: one session only (1900-100 == the exact gap stays in-session);
+    // u3: batch-2 only, two sessions (gap 3000), the second stays open.
+    val b1 = Seq((1L, 101L, ts(0)), (1L, 102L, ts(60)),
+      (1L, 103L, ts(4000)), (1L, 104L, ts(4060)),
+      (2L, 201L, ts(100)), (2L, 202L, ts(1900)))
+    val b2 = Seq((1L, 105L, ts(5010)), (1L, 106L, ts(9000)),
+      (3L, 301L, ts(6000)), (3L, 302L, ts(9000)))
+    b1.toDF("user_id", "event_id", "ts").write.mode("overwrite").parquet(dir)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType)))
+    val q = StreamOps.sessionizeStream(spark,
+        spark.readStream.schema(schema).parquet(dir), gapSec = 1800L)
+      .writeStream.format("memory").queryName("sess_stream")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    q.processAllAvailable()
+    b2.toDF("user_id", "event_id", "ts").write.mode("append").parquet(dir)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sess_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    // batch oracle over the union, minus each user's last (open) session
+    val batch = graft.pipeline.PipelineOps.sessionize(
+      (b1 ++ b2).toDF("user_id", "event_id", "ts"), 1800L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val lastIdx = batch.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    val want = batch.filter(s => s._2 < lastIdx(s._1)).toSet
+    assert(got == want)
+    // the spanning session came out MERGED: 3 events, start 4000 s, dur 1010 s
+    assert(got.contains((1L, 2L, 3L, 4000000000L, 1010000000L)))
+    // u2's only session is still open: nothing emitted for u2
+    assert(!got.exists(_._1 == 2L))
+  }
+
   test("streaming 1-NN against a broadcast static layer == batch kNN join") {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
