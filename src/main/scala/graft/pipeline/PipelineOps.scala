@@ -734,7 +734,8 @@ object PipelineOps {
         org.apache.spark.sql.types.LongType)))).getField("k")
     events
       .select(col("event_type"), k.as("k"))
-      .groupBy(col("event_type"), (col("k") - pmod(col("k"), lit(10L)))
+      // truncated % (not pmod): matches SQL's remainder on negative keys too
+      .groupBy(col("event_type"), (col("k") - col("k") % lit(10L))
         .as("k_decade"))
       .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
         min("k").as("min_k"), max("k").as("max_k"))
@@ -811,7 +812,10 @@ object PipelineOps {
     val cumW = Window.partitionBy(key).orderBy(v)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val totW = Window.partitionBy(key)
-    val hist = df.groupBy(col(key), col(v)).agg(count(lit(1)).as("c"))
+    // NULL values are excluded (standard quantile semantics) — they would
+    // also sort NULLS FIRST here but NULLS LAST in ANSI window order
+    val hist = df.where(col(v).isNotNull)
+      .groupBy(col(key), col(v)).agg(count(lit(1)).as("c"))
       .withColumn("cum", sum("c").over(cumW))
       .withColumn("tot", sum("c").over(totW))
     val aggs = max(col("tot")).as("n") +: qs.map { case (nu, de) =>
