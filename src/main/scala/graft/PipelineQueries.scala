@@ -815,6 +815,79 @@ object PipelineQueries {
        |WHERE slot < ($rate) ORDER BY doc_id""".stripMargin
   }
 
+  /** Language-balanced resample: every language down-sampled to ≈ the
+    * smallest language's document count, membership hash-deterministic.
+    */
+  def langBalance(spark: SparkSession, dir: String): DataFrame =
+    PipelineOps.langBalance(docs(spark, dir)).orderBy("doc_id")
+
+  /** Twin of [[PipelineOps.langBalance]]: the same counting CTE, the same
+    * integer fixed-point threshold `(n_min * P31) // n_l`, the same 31-bit
+    * hash of the same `bal:`-prefixed key.
+    */
+  val langBalanceSql: String = {
+    import graft.functions.OracleHash
+    val p = OracleHash.P31
+    val slot = OracleHash.affineSql(
+      OracleHash.polyHash31Sql("'bal:' || CAST(doc_id AS VARCHAR)"),
+      OracleHash.permA(97), OracleHash.permB(97))
+    s"""WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_l
+       |           FROM documents GROUP BY 1),
+       |m AS (SELECT MIN(n_l) AS n_min FROM c),
+       |s AS (SELECT doc_id, lang, $slot AS slot FROM documents)
+       |SELECT s.doc_id, s.lang FROM s
+       |JOIN c USING (lang) CROSS JOIN m
+       |WHERE s.slot < (m.n_min * $p) // c.n_l
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Chunk-granularity exact dedup (16-word chunks), first occurrence
+    * wins corpus-wide.
+    */
+  def chunkDedup(spark: SparkSession, dir: String): DataFrame =
+    PipelineOps.chunkDedup(docs(spark, dir), 16).orderBy("doc_id")
+
+  /** Twin of [[PipelineOps.chunkDedup]]: the same 16-word slicing, the
+    * same 31-bit chunk hash, the same first-occurrence window rule.
+    * DuckDB list slices are 1-based inclusive (`ws[a:b]`), matching
+    * Spark's 1-based `slice(ws, a, n)`.
+    */
+  val chunkDedupSql: String = {
+    val ch = graft.functions.OracleHash
+      .polyHash31Sql("array_to_string(ws[i*16+1 : i*16+16], ' ')")
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
+       |           FROM documents),
+       |x AS (SELECT doc_id, (len(ws) + 15) // 16 AS nc,
+       |  unnest(range(0, (len(ws) + 15) // 16)) AS i, ws FROM t),
+       |ch AS (SELECT doc_id, nc, i AS pos, $ch AS ch FROM x),
+       |f AS (SELECT *, ROW_NUMBER()
+       |        OVER (PARTITION BY ch ORDER BY doc_id, pos) AS rn FROM ch)
+       |SELECT doc_id, MAX(nc) AS n_chunks,
+       |  CAST(COUNT(*) AS BIGINT) AS n_kept,
+       |  CAST(SUM(ch * (pos + 1)) AS BIGINT) AS sig
+       |FROM f WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  /** Frequent word bigrams: Misra–Gries candidates + exact verify; output
+    * is exact, so the twin is the plain GROUP BY/HAVING.
+    */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame =
+    PipelineOps.heavyHitters(docs(spark, dir)).orderBy("w")
+
+  /** Twin of [[PipelineOps.heavyHitters]]: the sketch is a candidate
+    * filter that provably never excludes a qualifier, so the exact-verified
+    * output equals the direct exact counts with the same data-dependent
+    * support threshold.
+    */
+  val heavyHittersSql: String =
+    """WITH t AS (SELECT string_split(text, ' ') AS ws FROM documents),
+      |x AS (SELECT ws, unnest(range(0, len(ws) - 1)) AS i FROM t),
+      |g AS (SELECT ws[i+1] || ' ' || ws[i+2] AS w FROM x),
+      |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM g),
+      |c AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM g GROUP BY w)
+      |SELECT c.w, c.cnt FROM c CROSS JOIN n
+      |WHERE c.cnt >= GREATEST(1, n.n // 1500) ORDER BY w""".stripMargin
+
   // -------------------------------------------------------- multimodal
 
   /** Column-tier media stats (binary payload derived from text); the typed
@@ -1078,6 +1151,90 @@ object PipelineQueries {
       rmrfTemp(inDir); rmrfTemp(ckpt)
     }
   }
+
+  /** STREAMING stream-stream interval join as a driver-oracle hard
+    * signal: clicks and views replay as TWO separate file streams in two
+    * time-split micro-batches each, joined by
+    * [[graft.streaming.StreamOps.intervalJoinStream]] (watermarked
+    * two-sided state). Cross-boundary pairs — a batch-2 click attributed
+    * to a batch-1 view — only match if the view-side STATE survived the
+    * first commit, so a green row certifies the buffered-state machinery,
+    * not just per-batch joining. In-order replay within the watermark
+    * contract ⇒ the emitted set equals the batch interval join, which is
+    * the twin.
+    */
+  def streamJoin(spark: SparkSession, dir: String): DataFrame = {
+    val tag = s"qsj_${System.nanoTime()}"
+    val clickDir = java.nio.file.Files.createTempDirectory(tag).toString
+    val viewDir = java.nio.file.Files.createTempDirectory(s"${tag}_v").toString
+    val ckpt = java.nio.file.Files.createTempDirectory(s"${tag}_c").toString
+    val ev = load(spark, dir, "events").select(col("event_id"),
+      col("ts").cast("timestamp").as("ts"), col("user_id"), col("event_type"))
+    // the batch boundary is chosen so at least one (view, click) pair
+    // STRADDLES it at every test scale — those pairs only emit if the
+    // view survived batch 1 in the join state, which is the property
+    // this query certifies (a boundary with no straddling pair would
+    // pass on a stateless per-batch join too)
+    val cutUs = 1704979170113231L
+    def leg(tpe: String, outDir: String, batch2: Boolean): Unit =
+      ev.where(col("event_type") === tpe &&
+          (if (batch2) unix_micros(col("ts")) >= cutUs
+           else unix_micros(col("ts")) < cutUs))
+        .drop("event_type")
+        .write.mode(if (batch2) "append" else "overwrite").parquet(outDir)
+    leg("click", clickDir, batch2 = false)
+    leg("view", viewDir, batch2 = false)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType, nullable = false),
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val savedParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    var q: org.apache.spark.sql.streaming.StreamingQuery = null
+    try {
+      q = graft.streaming.StreamOps.intervalJoinStream(
+          spark.readStream.schema(schema).parquet(clickDir),
+          spark.readStream.schema(schema).parquet(viewDir),
+          maxLagSec = 7200L)
+        .writeStream.format("memory").queryName(tag)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      q.processAllAvailable() // micro-batch 1: first half-month, both sides
+      // micro-batch 2: the rest — batch-2 clicks near the cut must still
+      // find their batch-1 views in the join state
+      leg("click", clickDir, batch2 = true)
+      leg("view", viewDir, batch2 = true)
+      q.processAllAvailable()
+      graft.streaming.StreamMetrics.record(q)
+      q.stop()
+      val out = spark.table(tag).orderBy("click_id", "view_id")
+      val rows = out.collect().toSeq
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), out.schema)
+    } finally {
+      if (q != null && q.isActive) q.stop()
+      spark.conf.set("spark.sql.shuffle.partitions", savedParts)
+      if (spark.catalog.tableExists(tag)) spark.catalog.dropTempView(tag)
+      rmrfTemp(clickDir); rmrfTemp(viewDir); rmrfTemp(ckpt)
+    }
+  }
+
+  /** Twin of [[streamJoin]]: the plain batch interval join — in-order
+    * replay within the watermark contract emits exactly this set.
+    */
+  val streamJoinSql: String =
+    """WITH c AS (SELECT event_id AS click_id, ts AS cts, user_id
+      |           FROM events WHERE event_type = 'click'),
+      |v AS (SELECT event_id AS view_id, ts AS vts, user_id
+      |      FROM events WHERE event_type = 'view')
+      |SELECT c.click_id, v.view_id, c.user_id,
+      |  epoch_us(c.cts) - epoch_us(v.vts) AS lag_us
+      |FROM c JOIN v ON c.user_id = v.user_id
+      |  AND v.vts >= c.cts - INTERVAL 2 HOUR AND v.vts <= c.cts
+      |ORDER BY click_id, view_id""".stripMargin
 
   /** Twin of [[streamSessionize]]: the batch session CTEs, keeping only
     * CLOSED sessions — every session but each user's last.

@@ -717,6 +717,128 @@ object PipelineOps {
       .select(col("doc_id"), col("lang"), col("slot"))
   }
 
+  /** Inverse-frequency language rebalancing — the multilingual-corpus
+    * sampling step (the α→0 limit of mC4/CCNet temperature sampling):
+    * each language keeps documents at rate n_min/n_lang, so every language
+    * contributes ≈ n_min documents to the balanced sample. The rates are
+    * DATA-DEPENDENT — a counting pass whose exchange carries one row per
+    * language — broadcast back onto the corpus, where acceptance is a
+    * map-side codegen filter. Membership is decided by the 31-bit document
+    * hash against an integer fixed-point threshold,
+    * `hash < (n_min · P31) div n_lang` — never a float rate — so the
+    * selection is bit-reproducible across retries, repartitionings, and
+    * engines, and re-running after appending new documents re-selects the
+    * same survivors for unchanged counts. The threshold arithmetic is
+    * exact while n_min < 2^31 (2 billion documents in the SMALLEST
+    * language); beyond that envelope the plan refuses loudly instead of
+    * silently wrapping.
+    */
+  def langBalance(docs: DataFrame): DataFrame = {
+    import graft.functions.OracleHash
+    // the unpartitioned window runs over the per-language AGGREGATE
+    // (≤ #languages rows), not the corpus — one scan, one tiny exchange
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_l"))
+      .withColumn("n_min", min("n_l").over(Window.partitionBy()))
+      .withColumn("thr",
+        when(col("n_min") >= lit(OracleHash.P31),
+          raise_error(concat(lit("langBalance: n_min exceeds the exact "
+            + "fixed-point envelope (2^31): "), col("n_min").cast("string")))
+            .cast("long"))
+          .otherwise(expr(s"(n_min * ${OracleHash.P31}L) div n_l")))
+    // the raw polynomial hash CLUSTERS in its high bits on short
+    // sequential keys (the prefix dominates; few mod wraps), which a
+    // threshold compare reads directly — compose with the affine
+    // universal family (a bijection on the field) to scramble position;
+    // mod-100 slot tests (hashSample) read LOW digits and don't need it
+    val slot = OracleHash.affine(
+      OracleHash.polyHash31(concat(lit("bal:"), col("doc_id").cast("string"))),
+      OracleHash.permA(97), OracleHash.permB(97))
+    docs
+      .join(broadcast(counts), "lang")
+      .where(slot < col("thr"))
+      .select(col("doc_id"), col("lang"))
+  }
+
+  /** Sub-document exact dedup at chunk granularity — the paragraph/line
+    * dedup pass of published web pipelines (RefinedWeb's line dedup, Lee
+    * et al. 2022's substring dedup), expressed over fixed `w`-word chunks
+    * because this corpus carries no newline structure. Every chunk keeps
+    * exactly its FIRST occurrence in (doc_id, pos) order corpus-wide; a
+    * document's surviving text is summarized as (chunk count, kept count,
+    * position-weighted hash sum) so the result stays narrow while still
+    * pinning WHICH chunks survived WHERE. One shuffle, on the 31-bit chunk
+    * hash — the window's own exchange; dedup state is never collected and
+    * the first-occurrence rule is deterministic under any partitioning.
+    * Documents whose every chunk appeared earlier drop out entirely —
+    * exact-duplicate docs are subsumed by this pass for free. At 100 TB
+    * the exchange carries one row per chunk occurrence (bounded by corpus
+    * words / w) and AQE splits hot boilerplate chunks like ordinary join
+    * skew.
+    */
+  def chunkDedup(docs: DataFrame, w: Int): DataFrame = {
+    import graft.functions.OracleHash
+    val chunks = docs
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("nc", expr(s"(size(ws) + ${w - 1}) div $w"))
+      .select(col("doc_id"), col("nc"), posexplode(expr(
+        s"transform(sequence(0, nc - 1), " +
+          s"i -> array_join(slice(ws, i * $w + 1, $w), ' '))")))
+      .select(col("doc_id"), col("nc"), col("pos"),
+        OracleHash.polyHash31(col("col")).as("ch"))
+    val first = Window.partitionBy("ch").orderBy("doc_id", "pos")
+    chunks
+      .withColumn("rn", row_number().over(first))
+      .where(col("rn") === 1)
+      .groupBy("doc_id")
+      .agg(max("nc").as("n_chunks"),
+        count(lit(1)).as("n_kept"),
+        sum(col("ch") * (col("pos") + lit(1L))).as("sig"))
+  }
+
+  /** Exact heavy hitters (frequent word bigrams) by sketch-then-verify —
+    * the vocabulary-scale frequent-items query WITHOUT a full-vocabulary
+    * shuffle. Pass 1 folds the bigram stream into one bounded
+    * [[graft.functions.MisraGries]] summary per partition (map-side
+    * partial aggregation; the exchange carries ≤ `k` counters per
+    * partition, not the vocabulary); the merged summary provably contains
+    * every bigram with true count > N/(k+1), so with the support threshold
+    * T = max(1, N div `denom`) and k+1 > N/T the sketch yields a candidate
+    * SUPERSET. Pass 2 broadcast-semi-joins the stream against the
+    * candidates and counts exactly — partial aggregation bounds the
+    * exchange at ≤ k rows per partition — so the OUTPUT is exact (the
+    * sketch's order-dependent estimates never surface). Two scans of the
+    * corpus, both shuffle-bounded: the canonical 100 TB frequent-items
+    * shape. With denom=1500 and k=4095, T > N/(k+1) holds for every N
+    * (for N < 4096, T ≥ 1 > N/4096; above, N div 1500 > N/4096), so the
+    * superset guarantee is unconditional.
+    */
+  def heavyHitters(docs: DataFrame, k: Int = 4095,
+      denom: Long = 1500L): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnShim
+    val grams = docs
+      .withColumn("ws", split(col("text"), " "))
+      // sequence(0, -1) DESCENDS in Spark: single-word docs (zero bigrams
+      // in the twin) must be filtered, not fed to the lambda
+      .where(size(col("ws")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(ws) - 2), " +
+          "i -> concat(element_at(ws, i + 1), ' ', element_at(ws, i + 2)))"))
+        .as("w"))
+    val mg = ColumnShim.column(
+      graft.functions.MisraGries(ColumnShim.expression(col("w")), k)
+        .toAggregateExpression())
+    val cand = grams
+      .agg(mg.as("sk"), count(lit(1)).as("n"))
+      .withColumn("t", greatest(lit(1L), expr(s"n div ${denom}L")))
+      .select(col("t"), explode(col("sk")).as("e"))
+      .select(col("e.w").as("w"), col("t"))
+    grams
+      .join(broadcast(cand), "w")
+      .groupBy("w", "t").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= col("t"))
+      .select(col("w"), col("cnt"))
+  }
+
   /** Semi-structured property extraction — parse a JSON metadata column
     * with an explicit schema (`from_json`, Jackson under the hood: the
     * standard Spark idiom for sidecar metadata on web-crawl records) and

@@ -240,6 +240,43 @@ object StreamOps {
       .select(col("w.start").as("win_start"), col("cell"), col("cnt"),
         col("min_x"), col("min_y"), col("max_x"), col("max_y"))
 
+  /** Watermarked STREAM-STREAM interval join — the attribution join
+    * (every click matched to the same user's views in the preceding
+    * `maxLagSec` window) as a genuine two-stream stateful join, the one
+    * streaming operator class a stream-static rewrite cannot express:
+    * BOTH sides buffer in the state store until the other side's matches
+    * can no longer arrive. The time-range predicate plus the two
+    * watermarks is exactly what lets Spark derive per-side state
+    * watermarks and evict — without the range condition an inner
+    * stream-stream join retains state forever, the canonical unbounded-
+    * state bug. State per side is bounded by (watermark delay + lag
+    * window) × arrival rate, keyed and shuffled on `user_id` only.
+    *
+    * Contract: `watermarkDelay` must exceed the lag window by the
+    * arrival slack, so a right-side row is still in state when its last
+    * possible left match arrives (delay − lag > max cross-batch
+    * disorder); under that contract the emitted set equals the BATCH
+    * interval join — the oracle — with in-order replay. Inner append-mode
+    * join: pairs emit as soon as both sides are present.
+    */
+  def intervalJoinStream(clicks: DataFrame, views: DataFrame,
+      maxLagSec: Long, watermarkDelay: String = "4 hours"): DataFrame = {
+    val l = clicks
+      .select(col("event_id").as("click_id"), col("ts").as("cts"),
+        col("user_id"))
+      .withWatermark("cts", watermarkDelay)
+    val r = views
+      .select(col("event_id").as("view_id"), col("ts").as("vts"),
+        col("user_id").as("v_user"))
+      .withWatermark("vts", watermarkDelay)
+    l.join(r, expr(
+      s"""user_id = v_user AND
+         |vts >= cts - INTERVAL $maxLagSec SECOND AND
+         |vts <= cts""".stripMargin))
+      .select(col("click_id"), col("view_id"), col("user_id"),
+        (unix_micros(col("cts")) - unix_micros(col("vts"))).as("lag_us"))
+  }
+
   /** STREAMING INDEX MAINTENANCE — the full serving loop (ingest → index
     * → serve): every micro-batch of an (id, x, y) point stream is
     * committed into the PERSISTED generational index at `root` via

@@ -1105,4 +1105,109 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == want)
     assert(cf("the") == 6L)
   }
+
+  test("langBalance: smallest language survives whole, no language " +
+    "exceeds its own count, and the selection is partition-invariant") {
+    val d = docs
+    val nL = d.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nMin = nL.values.min
+    val kept = PipelineOps.langBalance(d).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val keptL = kept.groupBy(_._2).map { case (l, xs) => l -> xs.size.toLong }
+    val smallest = nL.minBy(_._2)._1
+    assert(keptL(smallest) == nMin, "rate for the smallest language is 1.0")
+    nL.foreach { case (l, n) =>
+      assert(keptL.getOrElse(l, 0L) <= n)
+      // rate n_min/n_l targets n_min docs; allow binomial noise
+      assert(math.abs(keptL.getOrElse(l, 0L) - nMin) <=
+        4 * math.sqrt(nMin.toDouble) + 1,
+        s"lang $l kept ${keptL.getOrElse(l, 0L)}, expected ≈ $nMin")
+    }
+    val kept2 = PipelineOps.langBalance(d.repartition(7, col("doc_id")))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(kept.toSet == kept2.toSet, "hash selection is deterministic")
+  }
+
+  test("chunkDedup: first occurrence wins corpus-wide, exact-duplicate " +
+    "docs vanish, and the window rule is partition-invariant") {
+    import spark.implicits._
+    def words(tag: String) = (1 to 16).map(i => s"$tag$i").mkString(" ")
+    val a = words("a"); val b = words("b"); val c = words("c")
+    val fixture = Seq(
+      (1L, s"$a $b"),  // chunks A, B — both first occurrences
+      (2L, s"$a $c"),  // chunk A duplicates doc 1's; C survives
+      (3L, s"$a $b"),  // exact copy of doc 1 — every chunk subsumed
+      (4L, c)          // whole doc duplicates doc 2's surviving chunk
+    ).toDF("doc_id", "text")
+    val got = PipelineOps.chunkDedup(fixture, 16).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(1L) == ((2L, 2L)), "doc 1 keeps both chunks")
+    assert(got(2L) == ((2L, 1L)), "doc 2 keeps only chunk C")
+    assert(!got.contains(3L), "exact duplicate doc drops out entirely")
+    assert(!got.contains(4L), "chunk-subsumed doc drops out entirely")
+    val onReal = PipelineOps.chunkDedup(docs, 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val onRepart = PipelineOps.chunkDedup(docs.repartition(7), 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(onReal.toSet == onRepart.toSet)
+    assert(onReal.forall { case (_, nc, nk, _) => nk <= nc })
+  }
+
+  test("MisraGries sketch: superset guarantee under forced decrements and " +
+    "merges; estimates never exceed true counts and honor the error bound") {
+    import spark.implicits._
+    import org.apache.spark.sql.graft.ColumnShim
+    // skewed stream: one hot token, a warm band, a long cold tail — with
+    // k=16 the cold tail forces the O(k) decrement branch in update() and
+    // the (k+1)-th-largest subtraction in merge() across 8 partitions
+    val rows = Seq.fill(500)("hot") ++
+      (1 to 5).flatMap(i => Seq.fill(120)(s"warm$i")) ++
+      (1 to 2000).map(i => s"cold$i")
+    val df = rows.toDF("w").repartition(8)
+    val k = 16
+    val mg = ColumnShim.column(
+      graft.functions.MisraGries(ColumnShim.expression(col("w")), k)
+        .toAggregateExpression())
+    val sk = df.agg(mg.as("sk"))
+      .select(explode(col("sk")).as("e"))
+      .select(col("e.w"), col("e.est")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sk.size <= k, s"summary holds at most k=$k counters")
+    val truth = rows.groupBy(identity).map { case (w, xs) => w -> xs.size.toLong }
+    val n = rows.size.toLong
+    val bound = n.toDouble / (k + 1)
+    truth.filter(_._2 > bound).keys.foreach { w =>
+      assert(sk.contains(w), s"token $w (count ${truth(w)} > $bound) " +
+        "must survive the merged sketch")
+    }
+    sk.foreach { case (w, est) =>
+      assert(est <= truth(w), s"estimate for $w exceeds true count")
+      assert(truth(w) - est <= bound + 1, s"estimate for $w out of bound")
+    }
+  }
+
+  test("heavyHitters: sketch-then-verify output equals direct exact " +
+    "counts and is partition-invariant") {
+    val exact = {
+      val grams = docs
+        .withColumn("ws", split(col("text"), " "))
+        .where(size(col("ws")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(ws) - 2), " +
+            "i -> concat(element_at(ws, i + 1), ' ', element_at(ws, i + 2)))"))
+          .as("w"))
+      val n = grams.count()
+      val t = math.max(1L, n / 1500L)
+      grams.groupBy("w").count().where(col("count") >= t)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    val got = PipelineOps.heavyHitters(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == exact)
+    val got2 = PipelineOps.heavyHitters(docs.repartition(3)).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got2 == exact, "verified output is independent of partitioning")
+    assert(got.nonEmpty)
+  }
 }

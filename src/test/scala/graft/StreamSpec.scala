@@ -375,4 +375,34 @@ class StreamSpec extends AnyFunSuite {
     }
     Seq(dir, ckpt, root, rootF).foreach(d => rm(new java.io.File(d)))
   }
+
+  test("stream-stream interval join: emitted pairs == batch interval " +
+    "join, including a pair that crosses the micro-batch boundary " +
+    "through the buffered join state") {
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.001"
+    val got = PipelineQueries.streamJoin(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val c = ev.where(col("event_type") === "click").select(
+      col("event_id").as("click_id"), col("ts").as("cts"), col("user_id"))
+    val v = ev.where(col("event_type") === "view").select(
+      col("event_id").as("view_id"), col("ts").as("vts"),
+      col("user_id").as("vu"))
+    val batch = c.join(v, expr(
+      "user_id = vu AND vts >= cts - INTERVAL 7200 SECOND AND vts <= cts"))
+      .select(col("click_id"), col("view_id"), col("user_id"),
+        (unix_micros(col("cts")) - unix_micros(col("vts"))).as("lag_us"),
+        unix_micros(col("vts")).as("vus"), unix_micros(col("cts")).as("cus"))
+      .collect()
+    val want = batch.map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.length == want.length)
+    assert(got.toSet == want.toSet)
+    val cutUs = 1704979170113231L // the query's batch boundary
+    val crossing = batch.count(r => r.getLong(4) < cutUs && cutUs <= r.getLong(5))
+    assert(crossing >= 1,
+      "fixture must contain a pair straddling the batch boundary — " +
+        "otherwise the test cannot distinguish stateful from per-batch joins")
+  }
 }
