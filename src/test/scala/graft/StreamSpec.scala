@@ -385,10 +385,11 @@ class StreamSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     val ev = spark.read.parquet(s"$dir/events.parquet")
     val c = ev.where(col("event_type") === "click").select(
-      col("event_id").as("click_id"), col("ts").as("cts"), col("user_id"))
+      col("event_id").as("click_id"),
+      col("ts").cast("timestamp").as("cts"), col("user_id"))
     val v = ev.where(col("event_type") === "view").select(
-      col("event_id").as("view_id"), col("ts").as("vts"),
-      col("user_id").as("vu"))
+      col("event_id").as("view_id"),
+      col("ts").cast("timestamp").as("vts"), col("user_id").as("vu"))
     val batch = c.join(v, expr(
       "user_id = vu AND vts >= cts - INTERVAL 7200 SECOND AND vts <= cts"))
       .select(col("click_id"), col("view_id"), col("user_id"),
