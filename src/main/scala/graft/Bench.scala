@@ -328,7 +328,7 @@ object Bench {
     val tputHiMed = median(pairs.map(_._2))
     val tputLoBest = pairs.map(_._1).max
     val tputHiBest = pairs.map(_._2).max
-    val effs = pairs.map { case (lo, hi) => hi / (lo * (hiN.toDouble / loN)) }
+    val effs = pairs.map(effOf)
     slow ++= slowPairs(effs) // noisy pairs surface in the record's own slow list
     val eff = median(effs)
     val effBestLevels = tputHiBest / (tputLoBest * (hiN.toDouble / loN))

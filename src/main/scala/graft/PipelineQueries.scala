@@ -692,15 +692,20 @@ object PipelineQueries {
 
   /** Twin of [[PipelineOps.jsonProps]]: DuckDB's JSON extension reading
     * the same path; integer stats, so the parse engines can't disagree.
+    * The engine's PERMISSIVE parse yields NULL on malformed rows — the
+    * twin mirrors that (json_valid guard + TRY_CAST instead of erroring)
+    * and pins the NULL group's sort position to Spark's NULLS FIRST.
     */
   val jsonPropsSql: String =
     """WITH e AS (SELECT event_type,
-      |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+      |  CASE WHEN json_valid(props)
+      |       THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+      |  END AS k FROM events)
       |SELECT event_type, k - k % 10 AS k_decade,
       |  CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(k) AS BIGINT) AS sum_k,
       |  MIN(k) AS min_k, MAX(k) AS max_k
       |FROM e GROUP BY event_type, k - k % 10
-      |ORDER BY event_type, k_decade""".stripMargin
+      |ORDER BY event_type, k_decade NULLS FIRST""".stripMargin
 
   /** PII scrub over the documents table. The corpus is digit-free word
     * soup, so deterministic pseudo-PII is planted first — an email derived

@@ -904,9 +904,15 @@ object PipelineOps {
     */
   def intervalJoin(facts: DataFrame, tsCol: String,
       intervals: DataFrame, bucketUs: Long): DataFrame = {
-    val iv = intervals.withColumn("bkt",
-      explode(sequence(expr(s"start_us div ${bucketUs}L"),
-        expr(s"(end_us - 1) div ${bucketUs}L"))))
+    // degenerate intervals (end <= start) contain nothing, but their
+    // bucket sequence would DESCEND (Spark's implicit -1 step), paying
+    // join fan-out for rows the residual predicate then discards — drop
+    // them before the explode
+    val iv = intervals
+      .where(col("end_us") > col("start_us"))
+      .withColumn("bkt",
+        explode(sequence(expr(s"start_us div ${bucketUs}L"),
+          expr(s"(end_us - 1) div ${bucketUs}L"))))
     facts
       .withColumn("bkt", expr(s"$tsCol div ${bucketUs}L"))
       .join(iv, Seq("bkt"))

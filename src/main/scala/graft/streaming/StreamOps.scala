@@ -212,6 +212,14 @@ object StreamOps {
           val out =
             scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, Long)]
           rows.toArray.sortBy(r => (r._3, r._2)).foreach { case (_, _, tus) =>
+            // enforce the cross-batch ordering contract LOUDLY: a stale
+            // event would otherwise move last-seen backwards and silently
+            // split or mis-close sessions (corrupt output, not an error)
+            require(n == 0L || tus >= lastUs,
+              s"sessionizeStream: event time $tus for user $user regressed " +
+                s"below the open session's last-seen $lastUs — per-user " +
+                "event time must be monotone across micro-batches " +
+                "(sort/watermark upstream)")
             if (n == 0L) { startUs = tus; lastUs = tus; n = 1L; idx = 1L }
             else if (tus - lastUs > gapUs) {
               out += ((user, idx, n, startUs, lastUs - startUs))
