@@ -873,6 +873,27 @@ object PipelineQueries {
        |FROM f WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  /** Bloom-pre-filtered semi-join: event stats for users flagged by ≥ 14
+    * error events; the bloom is a pure shuffle reducer, output exact.
+    */
+  def bloomJoin(spark: SparkSession, dir: String): DataFrame =
+    PipelineOps.bloomFlaggedUserStats(load(spark, dir, "events"), 14L)
+      .orderBy("user_id")
+
+  /** Twin of [[PipelineOps.bloomFlaggedUserStats]]: the bloom never
+    * excludes a true match and the exact semi-join removes every false
+    * positive, so the twin is the plain semi-join + aggregate. `events`
+    * rows are unique, `f` holds distinct users — the inner join IS the
+    * semi-join.
+    */
+  val bloomJoinSql: String =
+    """WITH f AS (SELECT user_id FROM events WHERE event_type = 'error'
+      |           GROUP BY user_id HAVING COUNT(*) >= 14)
+      |SELECT e.user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  MIN(event_id) AS min_id, MAX(event_id) AS max_id
+      |FROM events e JOIN f USING (user_id)
+      |GROUP BY e.user_id ORDER BY user_id""".stripMargin
+
   /** Frequent word bigrams: Misra–Gries candidates + exact verify; output
     * is exact, so the twin is the plain GROUP BY/HAVING.
     */

@@ -839,6 +839,46 @@ object PipelineOps {
       .select(col("w"), col("cnt"))
   }
 
+  /** Bloom-pre-filtered semi-join — the canonical shuffle-reduction
+    * pattern for "keep the fact rows whose key is in a derived set": the
+    * build side (users with ≥ `minErrors` error events) folds into an
+    * m-bit [[graft.functions.BloomAgg]] bitmap (the exchange carries one
+    * bitmap per partition, OR-merged; the collected driver value is m/8
+    * bytes REGARDLESS of build cardinality — that boundedness is the
+    * point), the probe side filters MAP-SIDE in whole-stage codegen
+    * before its exchange, and the exact semi-join that follows removes
+    * the false positives — so the output is EXACT and the bloom only
+    * changes bytes shuffled, never rows returned. False negatives are
+    * impossible by construction. At bench scale the exact semi-join
+    * broadcasts anyway; at 100 TB, where the flagged set outgrows a
+    * row-broadcast, the probe exchange shrinks by the true-match rate
+    * (the same job Spark's runtime-filter pushdown does, here explicit,
+    * deterministic, and composable with any downstream aggregate).
+    */
+  def bloomFlaggedUserStats(events: DataFrame, minErrors: Long,
+      bits: Int = 1 << 17, hashes: Int = 5): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnShim
+    import graft.functions.{BloomAgg, BloomMightContain}
+    // tiny (≤ distinct users) but derived from a full scan: materialize
+    // once, it feeds both the bitmap job and the exact semi-join
+    val flagged = events.where(col("event_type") === "error")
+      .groupBy("user_id").agg(count(lit(1)).as("n_err"))
+      .where(col("n_err") >= lit(minErrors))
+      .select("user_id")
+      .localCheckpoint(true)
+    val bloomCol = ColumnShim.column(
+      BloomAgg(ColumnShim.expression(col("user_id")), bits, hashes)
+        .toAggregateExpression())
+    val bitmap = flagged.agg(bloomCol.as("bf")).head().getAs[Array[Byte]](0)
+    events
+      .where(ColumnShim.column(BloomMightContain(
+        ColumnShim.expression(col("user_id")), bitmap, hashes)))
+      .join(flagged, Seq("user_id"), "left_semi")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        min("event_id").as("min_id"), max("event_id").as("max_id"))
+  }
+
   /** Semi-structured property extraction — parse a JSON metadata column
     * with an explicit schema (`from_json`, Jackson under the hood: the
     * standard Spark idiom for sidecar metadata on web-crawl records) and

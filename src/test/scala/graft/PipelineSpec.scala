@@ -1210,4 +1210,45 @@ class PipelineSpec extends AnyFunSuite {
     assert(got2 == exact, "verified output is independent of partitioning")
     assert(got.nonEmpty)
   }
+
+  test("BloomAgg/BloomMightContain: zero false negatives across merged " +
+    "partitions, false-positive rate within theory, semi-join exact") {
+    import spark.implicits._
+    import org.apache.spark.sql.graft.ColumnShim
+    import graft.functions.{BloomAgg, BloomMightContain, BloomFilter64}
+    val bits = 1 << 17; val hashes = 5
+    val keys = (0L until 10000L).map(_ * 7919L + 13L)
+    val bloomCol = ColumnShim.column(
+      BloomAgg(ColumnShim.expression(col("k")), bits, hashes)
+        .toAggregateExpression())
+    val bitmap = keys.toDF("k").repartition(8)
+      .agg(bloomCol.as("bf")).head().getAs[Array[Byte]](0)
+    val words = BloomFilter64.fromBytes(bitmap)
+    keys.foreach { k =>
+      assert(BloomFilter64.contains(words, k, hashes),
+        s"false negative for inserted key $k")
+    }
+    val probes = (0L until 100000L).map(_ * 104729L + 5L)
+      .filterNot(keys.toSet)
+    val fp = probes.count(BloomFilter64.contains(words, _, hashes))
+    // m/n ≈ 13.1 bits/key, k=5 → theoretical fpp ≈ 0.3%; assert well
+    // under 2% so the bound has margin but a broken hash still fails
+    assert(fp.toDouble / probes.size < 0.02,
+      s"false-positive rate ${fp.toDouble / probes.size} out of bound")
+    // end-to-end: bloom-pre-filtered semi-join == plain semi-join
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val got = PipelineOps.bloomFlaggedUserStats(ev, 2L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val flagged = ev.where(col("event_type") === "error")
+      .groupBy("user_id").count().where(col("count") >= 2)
+      .select("user_id")
+    val want = ev.join(flagged, Seq("user_id"), "left_semi")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"), min("event_id"), max("event_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSet == want.toSet)
+    assert(got.length == want.length)
+    assert(got.nonEmpty)
+  }
 }
