@@ -30,8 +30,8 @@ case class BloomAgg(
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Array[Long]] {
 
-  require(bits > 0 && (bits & (bits - 1)) == 0,
-    s"bloom_agg needs a power-of-two bit count, got $bits")
+  require(bits >= 64 && (bits & (bits - 1)) == 0,
+    s"bloom_agg needs a power-of-two bit count >= 64 (whole words), got $bits")
   require(hashes > 0, s"bloom_agg needs a positive hash count, got $hashes")
 
   override def children: Seq[Expression] = Seq(child)
@@ -135,15 +135,21 @@ object BloomFilter64 {
 
   /** Kirsch–Mitzenmacher double hashing: position i = h1 + i·h2. The odd
     * step guarantees all k positions are distinct mod the power-of-two
-    * width.
+    * width. ONE definition shared by add and contains — the zero-false-
+    * negative invariant is exactly "both sides derive identical
+    * positions", so the formula must not exist twice.
     */
+  private def seed1(key: Long): Long = mix(key)
+  private def seed2(key: Long): Long = mix(key ^ 0x9e3779b97f4a7c15L) | 1L
+  private def position(h1: Long, h2: Long, i: Int, m: Long): Long =
+    ((h1 + i * h2) & Long.MaxValue) % m
+
   def add(words: Array[Long], key: Long, k: Int): Unit = {
     val m = words.length.toLong * 64
-    val h1 = mix(key)
-    val h2 = mix(key ^ 0x9e3779b97f4a7c15L) | 1L
+    val h1 = seed1(key); val h2 = seed2(key)
     var i = 0
     while (i < k) {
-      val pos = ((h1 + i * h2) & Long.MaxValue) % m
+      val pos = position(h1, h2, i, m)
       words((pos >>> 6).toInt) |= 1L << (pos & 63)
       i += 1
     }
@@ -151,11 +157,10 @@ object BloomFilter64 {
 
   def contains(words: Array[Long], key: Long, k: Int): Boolean = {
     val m = words.length.toLong * 64
-    val h1 = mix(key)
-    val h2 = mix(key ^ 0x9e3779b97f4a7c15L) | 1L
+    val h1 = seed1(key); val h2 = seed2(key)
     var i = 0
     while (i < k) {
-      val pos = ((h1 + i * h2) & Long.MaxValue) % m
+      val pos = position(h1, h2, i, m)
       if ((words((pos >>> 6).toInt) & (1L << (pos & 63))) == 0L) return false
       i += 1
     }
