@@ -90,4 +90,45 @@ class PushdownSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"),
       s"unbroadcast cartesian over data:\n${plan.take(2000)}")
   }
+
+  test("third-wave plan shapes: langBalance joins the rate table by " +
+    "broadcast, heavyHitters partial-aggregates the sketch and broadcasts " +
+    "candidates, bloom probe filters with no exchange below it") {
+    spark.sparkContext.setLogLevel("ERROR")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+
+    // langBalance: the corpus must meet the per-language rate table
+    // through a broadcast hash join — a sort-merge join here would
+    // shuffle the whole corpus to meet 5 rows
+    val lbPlan = graft.pipeline.PipelineOps.langBalance(docs)
+      .queryExecution.executedPlan.toString
+    assert(lbPlan.contains("BroadcastHashJoin"), lbPlan.take(2000))
+    assert(!lbPlan.contains("SortMergeJoin"), lbPlan.take(2000))
+
+    // heavyHitters: the MisraGries sketch must run as a two-stage
+    // object aggregate (partial per partition BEFORE the exchange — the
+    // bounded-summary property), and the verify pass must meet the
+    // candidate set through a broadcast join
+    val hhPlan = graft.pipeline.PipelineOps.heavyHitters(docs)
+      .queryExecution.executedPlan.toString
+    assert(hhPlan.contains("ObjectHashAggregate") ||
+      hhPlan.contains("SortAggregate"), hhPlan.take(2000))
+    assert(hhPlan.contains("BroadcastHashJoin"), hhPlan.take(2000))
+
+    // bloom probe: the membership filter must sit directly on the scan
+    // side with no exchange between them (map-side pre-filtering is the
+    // operator's entire point)
+    val bj = graft.pipeline.PipelineOps.bloomFlaggedUserStats(events, 2L)
+    val bjPlan = bj.queryExecution.executedPlan.toString
+    assert(bjPlan.contains("bloom_might_contain"), bjPlan.take(3000))
+    val probeFilterIdx = bjPlan.indexOf("bloom_might_contain")
+    val scanBelow = bjPlan.indexOf("FileScan", probeFilterIdx)
+    val exchangeBetween = {
+      val ex = bjPlan.indexOf("Exchange", probeFilterIdx)
+      ex >= 0 && scanBelow >= 0 && ex < scanBelow
+    }
+    assert(scanBelow >= 0 && !exchangeBetween,
+      s"bloom probe not map-side on the scan:\n${bjPlan.take(3000)}")
+  }
 }
