@@ -418,27 +418,29 @@ object PipelineOps {
     * polynomial hash, then keep each w-window's minimum hash — any two
     * documents sharing a substring of length ≥ w+k-1 are guaranteed to
     * share a fingerprint, while only ~2/(w+1) of the grams survive. Output:
-    * DISTINCT (doc_id, fp). Pure window/column arithmetic (StrHash31 +
-    * sliding MIN), integer-exact, so it carries a DuckDB oracle.
+    * DISTINCT (doc_id, fp).
+    *
+    * Winnowing is a doc-LOCAL fold, so it is computed IN-ROW by the native
+    * [[graft.functions.WinnowFps]] expression (rolling gram hash + monotone
+    * -deque sliding min + sorted-distinct, one JVM pass per document) and
+    * the distinct minima explode straight out of the array — ZERO Exchange
+    * in the plan. The previous formulation exploded one row per character
+    * position and ran two Windows over an Exchange of that stream (id +
+    * pos + hash per text byte — at 100 TB a multi-hundred-TB shuffle for a
+    * fold that never leaves the document; the `repetitionStats`
+    * anti-explode rule). Hash space unchanged (polyHash31 of each
+    * k-codepoint gram, spec-pinned against the direct fold), so the DuckDB
+    * twin and recorded hashes are untouched; the short-doc gate
+    * `length >= k+w-1` is exactly the old full-window rule `p <= n - w`.
     */
-  def fingerprints(docs: DataFrame, k: Int = 16, w: Int = 8): DataFrame = {
-    import graft.functions.OracleHash
-    val grams = docs
-      .where(length(col("text")) >= k)
+  def fingerprints(docs: DataFrame, k: Int = 16, w: Int = 8): DataFrame =
+    docs
+      .where(length(col("text")) >= k + w - 1) // docs with >= 1 full window
       .select(col("doc_id"),
-        posexplode(transform(
-          sequence(lit(1), length(col("text")) - lit(k - 1)),
-          i => OracleHash.polyHash31(col("text").substr(i, lit(k))))))
-      .withColumnRenamed("pos", "p").withColumnRenamed("col", "h")
-    val win = Window.partitionBy("doc_id").orderBy("p")
-      .rowsBetween(Window.currentRow, w - 1)
-    grams
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
-      .withColumn("fp", min("h").over(win))
-      .where(col("p") <= col("n") - w) // full windows only (p is 0-based)
-      .select("doc_id", "fp")
-      .distinct()
-  }
+        explode(org.apache.spark.sql.graft.ColumnShim.column(
+          graft.functions.WinnowFps(
+            org.apache.spark.sql.graft.ColumnShim.expression(col("text")),
+            k, w))).as("fp"))
 
   // ----------------------------------------------------- decontamination
 
@@ -681,9 +683,14 @@ object PipelineOps {
     * call) on `w` with nothing driver-side. Integer sums + one division.
     */
   def rarityScore(docs: DataFrame): DataFrame = {
+    // (doc, word) counts feed BOTH the frequency aggregate and the join;
+    // materialize once (executor-local blocks, spillable — the
+    // bloomFlaggedUserStats pattern) so the corpus is tokenized and
+    // partial-aggregated in ONE scan instead of the lineage running twice
     val dw = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
     val freq = dw.groupBy("w").agg(sum("c").as("cf"))
     dw.join(freq, "w")
       .groupBy("doc_id")
@@ -767,13 +774,23 @@ object PipelineOps {
     * document's surviving text is summarized as (chunk count, kept count,
     * position-weighted hash sum) so the result stays narrow while still
     * pinning WHICH chunks survived WHERE. One shuffle, on the 31-bit chunk
-    * hash — the window's own exchange; dedup state is never collected and
-    * the first-occurrence rule is deterministic under any partitioning.
+    * hash — the keeper aggregation's own exchange; dedup state is never
+    * collected and the first-occurrence rule is deterministic under any
+    * partitioning.
     * Documents whose every chunk appeared earlier drop out entirely —
-    * exact-duplicate docs are subsumed by this pass for free. At 100 TB
-    * the exchange carries one row per chunk occurrence (bounded by corpus
-    * words / w) and AQE splits hot boilerplate chunks like ordinary join
-    * skew.
+    * exact-duplicate docs are subsumed by this pass for free.
+    *
+    * The first-occurrence rule is a pure MIN — `min(struct(doc_id, pos,
+    * nc))` per chunk hash, lexicographic over the same (doc_id, pos) order
+    * the old `row_number` window sorted — so it PARTIAL-AGGREGATES
+    * map-side: a corpus-wide hot boilerplate chunk (a cookie banner in
+    * 10^10 documents) collapses to ONE row per input partition BEFORE the
+    * exchange, instead of serializing every occurrence through a single
+    * window task's sort (window exchanges are NOT AQE-skew-splittable —
+    * `OptimizeSkewedJoin` applies to joins only). The exchange carries at
+    * most one row per (partition, distinct chunk); per-chunk skew is
+    * structurally gone, not mitigated (SkewSpec pins this with a chunk
+    * duplicated across 30% of docs).
     */
   def chunkDedup(docs: DataFrame, w: Int): DataFrame = {
     import graft.functions.OracleHash
@@ -785,10 +802,15 @@ object PipelineOps {
           s"i -> array_join(slice(ws, i * $w + 1, $w), ' '))")))
       .select(col("doc_id"), col("nc"), col("pos"),
         OracleHash.polyHash31(col("col")).as("ch"))
-    val first = Window.partitionBy("ch").orderBy("doc_id", "pos")
     chunks
-      .withColumn("rn", row_number().over(first))
-      .where(col("rn") === 1)
+      // keeper per chunk = lexicographic min of (doc_id, pos) — identical
+      // to the rn=1 row of ROW_NUMBER() OVER (PARTITION BY ch ORDER BY
+      // doc_id, pos) since (doc_id, pos) is unique; nc rides along (it is
+      // a function of doc_id, so it never influences the order)
+      .groupBy("ch")
+      .agg(min(struct(col("doc_id"), col("pos"), col("nc"))).as("m"))
+      .select(col("m.doc_id").as("doc_id"), col("m.nc").as("nc"),
+        col("m.pos").as("pos"), col("ch"))
       .groupBy("doc_id")
       .agg(max("nc").as("n_chunks"),
         count(lit(1)).as("n_kept"),

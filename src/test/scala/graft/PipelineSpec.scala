@@ -266,6 +266,53 @@ class PipelineSpec extends AnyFunSuite {
     assert(fp(1L).size < nGrams1 / 2)
   }
 
+  test("winnowing fingerprints: in-row WinnowFps equals the exploded " +
+    "window-min formulation bit-for-bit, multibyte input included") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.OracleHash
+    val (k, w) = (16, 8)
+    // the sf docs corpus plus adversarial rows: multibyte codepoints,
+    // exactly-one-window length, one-below-a-window length, repeats
+    val extra = Seq(
+      (9001L, "héllo wörld ünïcode ærger ßtraße 文字化けテスト end"),
+      (9002L, "x" * (k + w - 1)),     // exactly one full window
+      (9003L, "y" * (k + w - 2)),     // one short of a full window: empty
+      (9004L, "ab" * 40),             // periodic: heavy duplicate minima
+      (9005L, "é" + "z" * 30)    // multibyte at position 0
+    ).toDF("doc_id", "text")
+    val fixture = docs.select("doc_id", "text").union(extra)
+    // the previous formulation, verbatim: posexplode every gram position,
+    // sliding MIN over a doc-partitioned window, full windows only
+    val grams = fixture
+      .where(length(col("text")) >= k)
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(1), length(col("text")) - lit(k - 1)),
+          i => OracleHash.polyHash31(col("text").substr(i, lit(k))))))
+      .withColumnRenamed("pos", "p").withColumnRenamed("col", "h")
+    val win = Window.partitionBy("doc_id").orderBy("p")
+      .rowsBetween(Window.currentRow, w - 1)
+    val exploded = grams
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .withColumn("fp", min("h").over(win))
+      .where(col("p") <= col("n") - w)
+      .select("doc_id", "fp").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val native = PipelineOps.fingerprints(fixture, k, w)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(native == exploded,
+      "in-row winnowing diverged from the exploded window-min oracle")
+    // the plan is shuffle-free: winnowing is doc-local, so no Exchange
+    // (and no Window) may appear — the round-6 verdict's zero-shuffle rule
+    val fpd = PipelineOps.fingerprints(fixture, k, w)
+    fpd.collect()
+    val plan = fpd.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"fingerprints plan shuffles:\n$plan")
+    assert(!plan.contains("Window"), s"fingerprints plan has a window:\n$plan")
+  }
+
   test("token stats agree with a local recount") {
     val got = PipelineOps.tokenStats(docs).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
@@ -1152,6 +1199,39 @@ class PipelineSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(onReal.toSet == onRepart.toSet)
     assert(onReal.forall { case (_, nc, nk, _) => nk <= nc })
+  }
+
+  test("chunkDedup: hot boilerplate chunk partial-aggregates map-side — " +
+    "no Window in the plan, keeper rule exact under 30% duplication") {
+    import spark.implicits._
+    def words(tag: String) = (1 to 16).map(i => s"$tag$i").mkString(" ")
+    val boiler = words("cookiebanner") // the hot chunk: 30% of docs carry it
+    val fixture = (1L to 1000L).map { id =>
+      val own = (1 to 16).map(i => s"u${id}w$i").mkString(" ")
+      (id, if (id % 10 < 3) s"$boiler $own" else own)
+    }.toDF("doc_id", "text").repartition(8)
+    val out = PipelineOps.chunkDedup(fixture, 16)
+    val got = out.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // brute keeper rule: hot chunk kept once, by its first carrier (the
+    // lowest id with id % 10 < 3, at pos 0); every unique chunk kept
+    val firstHot = (1L to 1000L).find(_ % 10 < 3).get
+    (1L to 1000L).foreach { id =>
+      val hasBoiler = id % 10 < 3
+      val (nc, nk, _) = got(id)
+      assert(nc == (if (hasBoiler) 2L else 1L))
+      val expectKept = if (!hasBoiler) 1L else if (id == firstHot) 2L else 1L
+      assert(nk == expectKept, s"doc $id kept $nk, expected $expectKept")
+    }
+    // plan shape: the keeper is a min-struct AGGREGATE (map-side partial
+    // collapse of the hot chunk before the exchange), never a row_number
+    // window whose exchange a hot chunk would serialize (AQE skew split
+    // does not apply to window exchanges)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"chunkDedup plans a window:\n$plan")
+    assert(plan.contains("partial_min") || plan.toLowerCase.contains("partial"),
+      s"chunkDedup keeper aggregate does not partial-aggregate:\n$plan")
   }
 
   test("MisraGries sketch: superset guarantee under forced decrements and " +
