@@ -499,10 +499,19 @@ object PipelineQueries {
 
   /** EXACT IVF-pruned top-k — bit-identical to the brute-force `annTopK`,
     * so it reuses that oracle (recall is 1.0 by construction).
+    *
+    * kmeansIters = 0: Lloyd refinement only tightens the PRUNING bounds
+    * (correctness is bound-independent — the two-pass proof holds for any
+    * centers), and this query builds its index and serves 10 queries in
+    * one shot, so a refinement pass can never amortize here — it cost a
+    * full extra assignment + an n×dims explode per iteration for the same
+    * output rows (measured 1.6 -> 1.0 s at sf0.1, rows identical). A
+    * serving deployment that builds once and probes forever should keep
+    * iters ≥ 1; the operator retains the knob.
     */
   def annIvf(spark: SparkSession, dir: String): DataFrame =
     PipelineOps.annIvfTopK(load(spark, dir, "embeddings"), nQueries = 10,
-      k = 10, nClusters = 32)
+      k = 10, nClusters = 32, kmeansIters = 0)
       .orderBy("qid", "rn")
 
   /** Multiprobe LSH bucketed top-k, end-to-end, with its own exact SQL
