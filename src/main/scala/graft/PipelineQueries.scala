@@ -1491,12 +1491,15 @@ object PipelineQueries {
         org.apache.spark.sql.types.DoubleType, nullable = false)))
     var q: org.apache.spark.sql.streaming.StreamingQuery = null
     try {
-      // nGroups = 2: group count is the kill/resume granularity knob, and
-      // this harness rebuilds a FRESH store per invocation — 16 sequential
-      // group commits (8 build + 8 append) were pure per-job overhead here
+      // nGroups = 1: group count is the kill/resume granularity knob, and
+      // this harness rebuilds a FRESH store per invocation — every group
+      // commit costs a write job + a lineage job + marker FS ops, so the
+      // 16 sequential commits of the nGroups=8 default (and still the 4 of
+      // round 6's nGroups=2) were pure per-job overhead here. Kill/resume
+      // at real group granularity is pinned by CheckpointSpec at nGroups=8.
       q = graft.streaming.StreamOps.indexSink(
           spark.readStream.schema(schema).parquet(inDir),
-          Queries.grid, root, nGroups = 2)
+          Queries.grid, root, nGroups = 1)
         .option("checkpointLocation", ckpt)
         .start()
       q.processAllAvailable() // micro-batch 0: bulk-build the base store

@@ -193,10 +193,14 @@ object IndexStore {
     // materialize the touched-cell slice of the base view ONCE (semi-join
     // on the batch's cell set, no driver collect): without this, every
     // one of the nGroups group jobs re-scans all generations and re-runs
-    // the latest-wins window — O(nGroups·store) instead of O(touched)
-    val touched = celled.map(_._1).distinct().toDF("cell")
-    val base = tableUpTo(spark, root, gen - 1) match {
+    // the latest-wins window — O(nGroups·store) instead of O(touched).
+    // LAZY: the slice is only needed by uncommitted groups' compute
+    // closures — a marker-idempotent re-invocation (every re-run of the
+    // persisted bench queries, every stream batch replay) previously paid
+    // the distinct + eager-checkpoint jobs just to skip all groups.
+    lazy val base = tableUpTo(spark, root, gen - 1) match {
       case Some(view) =>
+        val touched = celled.map(_._1).distinct().toDF("cell")
         view.join(broadcast(touched), Seq("cell"), "left_semi")
           .localCheckpoint(true)
       case None =>
