@@ -123,19 +123,54 @@ object SpatialOps {
     val treeB = spark.sparkContext.broadcast(
       new LocalRTree[Long](2, 40, 1).bulkLoad(entries))
     val l = left.select("id", "minX", "minY", "maxX", "maxY")
+    // HOT PATH (the bench headline probes this per entity row): the probe
+    // is the push-based SoA walk (foreachIntersecting — no selection
+    // iterator, no per-probe stack; a degenerate [x,x]×[y,y] box makes it
+    // exactly locateAllAtPoint under closed intervals), hit ids land in a
+    // reusable growable long array, and output rows are written straight
+    // to one reused UnsafeRow — no Scala tuples, no Dataset encoder. Pair
+    // set unchanged (spec-pinned against intersectionJoin row for row).
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("lid",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("rid",
+        org.apache.spark.sql.types.LongType, nullable = false)))
     val rdd = l.queryExecution.toRdd.mapPartitions { it =>
       val t = treeB.value
-      it.flatMap { r =>
-        val lid = r.getLong(0)
-        val x0 = r.getDouble(1); val y0 = r.getDouble(2)
-        val x1 = r.getDouble(3); val y1 = r.getDouble(4)
-        val hits =
-          if (x0 == x1 && y0 == y1) t.locateAllAtPoint(Array(x0, y0))
-          else t.queryIntersecting(AABB.of2d(x0, y0, x1, y1))
-        hits.map(e => (lid, e.value))
+      new Iterator[org.apache.spark.sql.catalyst.InternalRow] {
+        private val writer =
+          new org.apache.spark.sql.catalyst.expressions.codegen.UnsafeRowWriter(2)
+        private var ids = new Array[Long](64)
+        private var n = 0
+        private var pos = 0
+        private var lid = 0L
+        private val collect: Entry[Long] => Unit = { e =>
+          if (n == ids.length) ids = java.util.Arrays.copyOf(ids, n * 2)
+          ids(n) = e.value; n += 1
+        }
+        private def fill(): Unit =
+          while (pos >= n && it.hasNext) {
+            val r = it.next()
+            lid = r.getLong(0)
+            val x0 = r.getDouble(1); val y0 = r.getDouble(2)
+            val x1 = r.getDouble(3); val y1 = r.getDouble(4)
+            n = 0; pos = 0
+            t.foreachIntersecting(AABB.of2d(x0, y0, x1, y1))(collect)
+          }
+        override def hasNext: Boolean = { fill(); pos < n }
+        override def next(): org.apache.spark.sql.catalyst.InternalRow = {
+          fill()
+          // reset() rewinds the cursor to the row start (fixed-width-only
+          // row: null bits stay zeroed from construction)
+          writer.reset()
+          writer.write(0, lid)
+          writer.write(1, ids(pos))
+          pos += 1
+          writer.getRow
+        }
       }
     }
-    spark.createDataset(rdd).toDF("lid", "rid")
+    org.apache.spark.sql.graft.ColumnShim.internalDf(spark, rdd, schema)
   }
 
   /** Same join through the two-level index: both sides hash-co-partitioned
@@ -370,6 +405,63 @@ object SpatialOps {
     val treeB = spark.sparkContext.broadcast(graft.index.PointRTree2D.build(
       pts.map(_.id), pts.map(_.x), pts.map(_.y)))
     val q = queries.toDF().select("qid", "x", "y")
+    if (k == 1) {
+      // HOT PATH (the bench headline's 1-NN leg, one probe per entity
+      // row): the keepTies-then-cut rule degenerates to "minimum by
+      // (d2, id)", tracked in two locals inside the callback — no buffer,
+      // no sort, no tuples — and each output row is written straight to
+      // one reused UnsafeRow (no Dataset encoder). Double.compare
+      // replicates the general path's total order bit-for-bit (NaN last,
+      // -0.0 < 0.0). Output row set and schema identical to the general
+      // path (spec-pinned against knnJoin k=1 row for row).
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("qid",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("d2",
+          org.apache.spark.sql.types.DoubleType, nullable = false),
+        org.apache.spark.sql.types.StructField("rn",
+          org.apache.spark.sql.types.IntegerType, nullable = false)))
+      val rdd = q.queryExecution.toRdd.mapPartitions { it =>
+        val t = treeB.value
+        new Iterator[org.apache.spark.sql.catalyst.InternalRow] {
+          private val writer =
+            new org.apache.spark.sql.catalyst.expressions.codegen.UnsafeRowWriter(4)
+          private var found = false
+          private var bestId = 0L
+          private var bestD2 = 0.0
+          private var qid = 0L
+          private val track: (Int, Double) => Unit = { (p, d2) =>
+            val id = t.ids(p)
+            val c = java.lang.Double.compare(d2, bestD2)
+            if (!found || c < 0 || (c == 0 && id < bestId)) {
+              bestD2 = d2; bestId = id; found = true
+            }
+          }
+          private def fill(): Unit =
+            while (!found && it.hasNext) {
+              val r = it.next()
+              qid = r.getLong(0)
+              t.nearestK(r.getDouble(1), r.getDouble(2), 1, keepTies = true)(track)
+            }
+          override def hasNext: Boolean = { fill(); found }
+          override def next(): org.apache.spark.sql.catalyst.InternalRow = {
+            fill()
+            // reset() rewinds the cursor to the row start (fixed-width-only
+            // row: null bits stay zeroed from construction)
+            writer.reset()
+            writer.write(0, qid)
+            writer.write(1, bestId)
+            writer.write(2, bestD2)
+            writer.write(3, 1)
+            found = false
+            writer.getRow
+          }
+        }
+      }
+      return org.apache.spark.sql.graft.ColumnShim.internalDf(spark, rdd, schema)
+    }
     val rdd = q.queryExecution.toRdd.mapPartitions { it =>
       val t = treeB.value
       it.flatMap { r =>

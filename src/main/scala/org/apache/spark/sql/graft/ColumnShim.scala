@@ -15,4 +15,18 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnShim {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** DataFrame over an RDD of InternalRows WITHOUT a Dataset encoder —
+    * `SparkSession.internalCreateDataFrame` is `private[sql]`, re-exported
+    * here for the broadcast-probe hot paths (SpatialOps), whose
+    * mapPartitions iterators write UnsafeRows directly instead of paying a
+    * per-row product-encoder serialization. Same technique as the Column
+    * conversions above: nothing in Spark is modified.
+    */
+  def internalDf(
+      spark: org.apache.spark.sql.SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): org.apache.spark.sql.DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema)
 }
